@@ -1,0 +1,182 @@
+"""Typed model/config tree with named presets.
+
+Equivalent of the reference's dataclass config tree + ``MethodSpecification``
+presets (/root/reference/crop_nerf/fruit_nerf/fruit_nerf_config.py:29-172 and
+``FruitNerfModelConfig`` at fruit_nerf.py:59-68).  Static Python dataclasses
+(hashable, compile-time constants) — the jitted step closes over them, so
+field counts/sample counts are baked into the XLA program.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class HashGridConfig:
+    num_levels: int = 16
+    features_per_level: int = 2
+    log2_hashmap_size: int = 19
+    min_res: int = 16
+    max_res: int = 2048
+
+
+@dataclasses.dataclass(frozen=True)
+class FieldConfig:
+    """CropField = hash grid + base/semantic/color MLPs + appearance embedding
+    (fruit_field.py:44-302 defaults)."""
+    grid: HashGridConfig = HashGridConfig()
+    num_layers: int = 2
+    hidden_dim: int = 64
+    geo_feat_dim: int = 15
+    num_layers_color: int = 3
+    hidden_dim_color: int = 64
+    num_layers_semantic: int = 2
+    hidden_dim_semantics: int = 64
+    num_semantic_classes: int = 1
+    appearance_embedding_dim: int = 32
+    use_average_appearance_embedding: bool = True
+    sh_levels: int = 4
+    use_contraction: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class ProposalFieldConfig:
+    """HashMLPDensityField args (nerfacto proposal_net_args_list defaults,
+    inherited by the base preset; big/huge override, fruit_nerf_config.py:90-97,147-155)."""
+    grid: HashGridConfig = HashGridConfig(num_levels=5, log2_hashmap_size=17,
+                                          max_res=128)
+    hidden_dim: int = 16
+    num_layers: int = 2
+    use_linear: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraOptConfig:
+    mode: str = "SO3xR3"           # "off" | "SO3xR3"
+    trans_l2_penalty: float = 1e-2
+    rot_l2_penalty: float = 1e-3
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """FruitNerfModelConfig equivalent (fruit_nerf.py:59-68 + nerfacto
+    defaults it inherits)."""
+    field: FieldConfig = FieldConfig()
+    proposal_fields: Tuple[ProposalFieldConfig, ...] = (
+        ProposalFieldConfig(grid=HashGridConfig(num_levels=5, log2_hashmap_size=17, max_res=128)),
+        ProposalFieldConfig(grid=HashGridConfig(num_levels=5, log2_hashmap_size=17, max_res=256)),
+    )
+    num_nerf_samples_per_ray: int = 48
+    num_proposal_samples_per_ray: Tuple[int, ...] = (256, 96)
+    near_plane: float = 0.05
+    far_plane: float = 1000.0
+    background_color: str = "last_sample"
+    use_single_jitter: bool = True
+    proposal_weights_anneal_slope: float = 10.0
+    proposal_weights_anneal_max_num_iters: int = 1000
+    proposal_update_every: int = 5
+    proposal_warmup: int = 5000
+    interlevel_loss_mult: float = 1.0
+    distortion_loss_mult: float = 0.002
+    semantic_loss_weight: float = 1.0
+    pass_semantic_gradients: bool = False
+    camera_opt: CameraOptConfig = CameraOptConfig()
+
+    @property
+    def num_proposal_iterations(self) -> int:
+        return len(self.num_proposal_samples_per_ray)
+
+
+# ---------------------------------------------------------------------------
+# Named presets (≙ MethodSpecifications fruit_nerf / _big / _huge,
+# fruit_nerf_config.py:29-172)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    model: ModelConfig = ModelConfig()
+    max_num_iterations: int = 40_000
+    train_num_rays_per_batch: int = 4096
+    eval_num_rays_per_batch: int = 4096
+    eval_num_rays_per_chunk: int = 1 << 15
+    steps_per_eval_batch: int = 500
+    steps_per_eval_image: int = 500
+    steps_per_save: int = 2000
+    # optimizer (fruit_nerf_config.py:45-60)
+    optimizer: str = "adam"                 # "adam" | "radam"
+    learning_rate: float = 1e-2
+    adam_eps: float = 1e-15
+    lr_final: float = 1e-4
+    lr_decay_max_steps: int = 200_000
+    camera_opt_lr: float = 1e-3
+    camera_opt_lr_final: float = 1e-4
+    camera_opt_decay_steps: int = 5000
+    seed: int = 42
+
+
+def _big_model() -> ModelConfig:
+    return ModelConfig(
+        field=FieldConfig(
+            grid=HashGridConfig(log2_hashmap_size=21, max_res=4096),
+            hidden_dim=128, hidden_dim_color=128, hidden_dim_semantics=128,
+            geo_feat_dim=30),
+        proposal_fields=(
+            ProposalFieldConfig(grid=HashGridConfig(num_levels=5, log2_hashmap_size=17, max_res=128)),
+            ProposalFieldConfig(grid=HashGridConfig(num_levels=5, log2_hashmap_size=17, max_res=256)),
+        ),
+        num_nerf_samples_per_ray=128,
+        num_proposal_samples_per_ray=(512, 256),
+        proposal_weights_anneal_max_num_iters=5000,
+    )
+
+
+def _huge_model() -> ModelConfig:
+    return ModelConfig(
+        field=FieldConfig(
+            grid=HashGridConfig(log2_hashmap_size=21, max_res=8192),
+            hidden_dim=256, hidden_dim_color=256, hidden_dim_semantics=256,
+            geo_feat_dim=30),
+        proposal_fields=(
+            ProposalFieldConfig(grid=HashGridConfig(num_levels=5, log2_hashmap_size=17, max_res=512),
+                                hidden_dim=16),
+            ProposalFieldConfig(grid=HashGridConfig(num_levels=7, log2_hashmap_size=17, max_res=2048),
+                                hidden_dim=16),
+        ),
+        num_nerf_samples_per_ray=64,
+        num_proposal_samples_per_ray=(512, 512),
+        proposal_weights_anneal_max_num_iters=5000,
+    )
+
+
+PRESETS = {
+    # ≙ fruit_nerf (fruit_nerf_config.py:29-65)
+    "cropnerf": TrainConfig(),
+    # ≙ fruit_nerf_big (:68-119)
+    "cropnerf-big": TrainConfig(
+        model=_big_model(), max_num_iterations=100_000,
+        train_num_rays_per_batch=8192, eval_num_rays_per_batch=4096,
+        optimizer="radam"),
+    # ≙ fruit_nerf_huge (:121-172)
+    "cropnerf-huge": TrainConfig(
+        model=_huge_model(), max_num_iterations=100_000,
+        train_num_rays_per_batch=16384, eval_num_rays_per_batch=4096,
+        optimizer="radam"),
+    # tiny CPU-runnable preset for tests / CI (no reference analogue)
+    "cropnerf-tiny": TrainConfig(
+        model=ModelConfig(
+            field=FieldConfig(grid=HashGridConfig(num_levels=4, log2_hashmap_size=12, max_res=64),
+                              hidden_dim=16, hidden_dim_color=16,
+                              hidden_dim_semantics=16, geo_feat_dim=7,
+                              appearance_embedding_dim=4),
+            proposal_fields=(
+                ProposalFieldConfig(grid=HashGridConfig(num_levels=3, log2_hashmap_size=10, max_res=32),
+                                    hidden_dim=8),
+            ),
+            num_nerf_samples_per_ray=16,
+            num_proposal_samples_per_ray=(32,),
+            proposal_weights_anneal_max_num_iters=50,
+        ),
+        max_num_iterations=200, train_num_rays_per_batch=256,
+        eval_num_rays_per_batch=256, eval_num_rays_per_chunk=1024),
+}

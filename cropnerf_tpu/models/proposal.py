@@ -1,0 +1,48 @@
+"""Proposal density fields: small hash grid + tiny MLP → density.
+
+Equivalent of nerfstudio ``HashMLPDensityField`` as configured at
+/root/reference/crop_nerf/fruit_nerf/fruit_nerf.py:118-142 (two nets, 5
+levels, 2^17 table, max_res 128/256, hidden 16).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core import spatial
+from ..ops.activations import trunc_exp
+from ..ops.hashgrid import hashgrid_encode, hashgrid_init, level_resolutions
+from ..ops.mlp import mlp_apply, mlp_init
+from .config import ProposalFieldConfig
+
+
+def proposal_init(key: jax.Array, cfg: ProposalFieldConfig) -> Dict:
+    k_grid, k_mlp = jax.random.split(key)
+    g = cfg.grid
+    grid_dim = g.num_levels * g.features_per_level
+    num_layers = 1 if cfg.use_linear else cfg.num_layers
+    return {
+        "grid": hashgrid_init(k_grid, g.num_levels, g.features_per_level,
+                              g.log2_hashmap_size),
+        "mlp": mlp_init(k_mlp, grid_dim, cfg.hidden_dim, 1, num_layers),
+    }
+
+
+def proposal_density(params: Dict, positions: jnp.ndarray,
+                     cfg: ProposalFieldConfig, use_contraction: bool = True,
+                     aabb: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """positions [..., 3] world → density [...]."""
+    if use_contraction:
+        unit = spatial.contracted_to_unit(positions)
+    else:
+        assert aabb is not None
+        unit = spatial.aabb_to_unit(positions, aabb)
+    selector = spatial.unit_selector(unit)
+    unit = unit * selector[..., None]
+    res = level_resolutions(cfg.grid.num_levels, cfg.grid.min_res,
+                            cfg.grid.max_res)
+    feats = hashgrid_encode(params["grid"], unit, res)
+    h = mlp_apply(params["mlp"], feats)
+    return trunc_exp(h[..., 0]) * selector

@@ -1,0 +1,95 @@
+"""Multiresolution hash-grid encoding (Instant-NGP style), TPU-native.
+
+Equivalent of tiny-cuda-nn's ``HashGrid`` encoding, bound in the reference at
+/root/reference/crop_nerf/fruit_nerf/fruit_field.py:125-132 (field: 16 levels,
+2^19 table, 2 features/level, max_res 2048) and via ``HashMLPDensityField``
+proposal nets (fruit_nerf.py:124-141: 5 levels, 2^17 table).
+
+Design (TPU-first, not a CUDA translation):
+  * The table is a dense [L, T, F] fp32 array (one pytree leaf).  Forward is
+    8 gathers + trilinear blend per level; XLA lowers gathers to efficient
+    dynamic-slice sequences and fuses the blend.  Backward is the gather
+    transpose (scatter-add), which XLA serialises per level — a Pallas
+    accumulation kernel can replace it later behind the same function.
+  * Levels are unrolled in Python (static L) so each level's gather gets its
+    own fused kernel; resolutions are compile-time constants.
+  * Hashing always applies (matching nerfstudio's torch HashEncoding; tcnn
+    switches to dense indexing for small levels — documented divergence, the
+    learned table simply uses hashed slots for those levels too).
+"""
+from __future__ import annotations
+
+import math
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+# Spatial hashing primes from Instant-NGP (Teschner et al.).
+_PRIMES = (1, 2654435761, 805459861)
+
+
+def level_resolutions(num_levels: int, min_res: int, max_res: int) -> Tuple[int, ...]:
+    """Per-level grid resolutions N_l = floor(min_res * b^l)."""
+    if num_levels == 1:
+        return (min_res,)
+    growth = math.exp((math.log(max_res) - math.log(min_res)) / (num_levels - 1))
+    return tuple(int(math.floor(min_res * growth ** l + 1e-9)) for l in range(num_levels))
+
+
+def hashgrid_init(key: jax.Array, num_levels: int, features_per_level: int,
+                  log2_hashmap_size: int, scale: float = 1e-4) -> jnp.ndarray:
+    """Uniform(-scale, scale) table init, matching NGP's 1e-4 default.
+
+    Returns table of shape [L, 2**log2_hashmap_size, F], float32.
+    """
+    table_size = 2 ** log2_hashmap_size
+    return jax.random.uniform(
+        key, (num_levels, table_size, features_per_level),
+        minval=-scale, maxval=scale, dtype=jnp.float32)
+
+
+def _hash3(ix: jnp.ndarray, iy: jnp.ndarray, iz: jnp.ndarray, table_size: int) -> jnp.ndarray:
+    h = (ix.astype(jnp.uint32) * jnp.uint32(_PRIMES[0])) \
+        ^ (iy.astype(jnp.uint32) * jnp.uint32(_PRIMES[1])) \
+        ^ (iz.astype(jnp.uint32) * jnp.uint32(_PRIMES[2]))
+    return (h % jnp.uint32(table_size)).astype(jnp.int32)
+
+
+def hashgrid_encode(table: jnp.ndarray, positions: jnp.ndarray,
+                    resolutions: Sequence[int]) -> jnp.ndarray:
+    """Encode positions in [0,1]^3 → features.
+
+    table:      [L, T, F]
+    positions:  [..., 3] (values outside [0,1] are clamped by the caller's
+                selector; the hash itself tolerates any finite input)
+    resolutions: static per-level grid sizes, len == L.
+
+    Returns [..., L*F] float32.
+    """
+    L, table_size, F = table.shape
+    assert len(resolutions) == L, (len(resolutions), L)
+    batch_shape = positions.shape[:-1]
+    pos = positions.reshape(-1, 3).astype(jnp.float32)
+
+    outs = []
+    for l, res in enumerate(resolutions):
+        scaled = pos * res
+        base = jnp.floor(scaled)
+        frac = scaled - base
+        base = base.astype(jnp.int32)
+
+        feats = jnp.zeros((pos.shape[0], F), dtype=jnp.float32)
+        # 8 corners, unrolled: weight = prod over dims of (frac or 1-frac).
+        for corner in range(8):
+            dx, dy, dz = corner & 1, (corner >> 1) & 1, (corner >> 2) & 1
+            idx = _hash3(base[:, 0] + dx, base[:, 1] + dy, base[:, 2] + dz,
+                         table_size)
+            w = ((frac[:, 0] if dx else 1.0 - frac[:, 0])
+                 * (frac[:, 1] if dy else 1.0 - frac[:, 1])
+                 * (frac[:, 2] if dz else 1.0 - frac[:, 2]))
+            feats = feats + table[l, idx, :] * w[:, None]
+        outs.append(feats)
+
+    out = jnp.concatenate(outs, axis=-1)
+    return out.reshape(*batch_shape, L * F)

@@ -1,0 +1,107 @@
+"""Training losses: RGB MSE, semantic BCE, interlevel (proposal), distortion.
+
+Equivalents of the loss stack at
+/root/reference/crop_nerf/fruit_nerf/fruit_nerf.py:601-615 (MSE +
+``BCEWithLogitsLoss`` vs fruit_mask + nerfstudio ``interlevel_loss`` +
+``distortion_loss``).  All pure jnp; the distortion loss uses the O(n)
+cumulative-sum form (the nerfacc CUDA kernel's math) instead of the O(n^2)
+pairwise expansion.
+"""
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_EPS = jnp.finfo(jnp.float32).eps
+
+
+def mse_loss(pred: jnp.ndarray, target: jnp.ndarray,
+             mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    err = (pred - target) ** 2
+    if mask is not None:
+        denom = jnp.maximum(jnp.sum(mask), 1.0) * err.shape[-1]
+        return jnp.sum(err * mask[..., None]) / denom
+    return jnp.mean(err)
+
+
+def bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray,
+                    mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Numerically-stable binary cross-entropy on logits (torch
+    BCEWithLogitsLoss semantics, mean reduction)."""
+    per = jnp.maximum(logits, 0.0) - logits * targets + jnp.log1p(
+        jnp.exp(-jnp.abs(logits)))
+    if mask is not None:
+        denom = jnp.maximum(jnp.sum(mask), 1.0) * (per.size / mask.size)
+        return jnp.sum(per * mask.reshape(mask.shape + (1,) * (per.ndim - mask.ndim))) / denom
+    return jnp.mean(per)
+
+
+def _outer_measure(t0_starts, t0_ends, t1_starts, t1_ends, y1):
+    """Total env weight intersecting each query bin (mipnerf360 ``outer``).
+
+    All in s-space; t0_*: [R, N] query bin edges, t1_*: [R, M] env bin edges,
+    y1: [R, M] env weights.
+    """
+    cy1 = jnp.concatenate(
+        [jnp.zeros_like(y1[..., :1]), jnp.cumsum(y1, axis=-1)], axis=-1)
+    # searchsorted as comparison-sums (fused on the VPU).
+    idx_lo = jnp.sum((t1_starts[..., None, :] <= t0_starts[..., :, None]),
+                     axis=-1) - 1
+    idx_lo = jnp.clip(idx_lo, 0, y1.shape[-1] - 1)
+    idx_hi = jnp.sum((t1_ends[..., None, :] <= t0_ends[..., :, None]), axis=-1)
+    idx_hi = jnp.clip(idx_hi, 0, y1.shape[-1] - 1)
+    cy1_lo = jnp.take_along_axis(cy1[..., :-1], idx_lo, axis=-1)
+    cy1_hi = jnp.take_along_axis(cy1[..., 1:], idx_hi, axis=-1)
+    return cy1_hi - cy1_lo
+
+
+def interlevel_loss(weights_list: List[jnp.ndarray],
+                    sdist_list: List[jnp.ndarray]) -> jnp.ndarray:
+    """Proposal supervision (mipnerf360 ``lossfun_outer``): the only gradient
+    path into the proposal density fields.  Final-level histogram is detached;
+    proposal weights are not.
+
+    weights_list: per-level [R, S_l] weights (final level last).
+    sdist_list:   per-level [R, S_l + 1] s-space bin edges.
+    """
+    c = jax.lax.stop_gradient(sdist_list[-1])
+    w = jax.lax.stop_gradient(weights_list[-1])
+    loss = 0.0
+    for sdist, wp in zip(sdist_list[:-1], weights_list[:-1]):
+        w_outer = _outer_measure(c[..., :-1], c[..., 1:],
+                                 sdist[..., :-1], sdist[..., 1:], wp)
+        loss = loss + jnp.mean(
+            jnp.clip(w - w_outer, 0.0) ** 2 / (w + _EPS))
+    return loss
+
+
+def distortion_loss(weights: jnp.ndarray, sdist: jnp.ndarray) -> jnp.ndarray:
+    """mipnerf360 distortion on the final level, O(n) form:
+
+      L = sum_ij w_i w_j |m_i - m_j| + (1/3) sum_i w_i^2 (t_{i+1} - t_i)
+
+    with m the s-space bin midpoints (sorted ascending), via
+      sum_ij w_i w_j |m_i - m_j| = 2 sum_i w_i (m_i W_i^< - S_i^<)
+    where W^< and S^< are exclusive prefix sums of w and w*m.
+    """
+    m = 0.5 * (sdist[..., 1:] + sdist[..., :-1])
+    dt = sdist[..., 1:] - sdist[..., :-1]
+    wm = weights * m
+    w_cum = jnp.cumsum(weights, axis=-1) - weights       # exclusive
+    wm_cum = jnp.cumsum(wm, axis=-1) - wm
+    loss_bi = 2.0 * jnp.sum(weights * (m * w_cum - wm_cum), axis=-1)
+    loss_uni = jnp.sum(weights ** 2 * dt, axis=-1) / 3.0
+    return jnp.mean(loss_bi + loss_uni)
+
+
+def camera_opt_regularizer(pose_adjustment: jnp.ndarray,
+                           trans_penalty: float = 1e-2,
+                           rot_penalty: float = 1e-3) -> jnp.ndarray:
+    """L2 penalty on SE(3) tangent deltas (nerfstudio CameraOptimizer
+    defaults; bound at fruit_nerf.py:612-615 via camera_optimizer.get_loss_dict)."""
+    # safe norm: sqrt grad at the zero init would be NaN otherwise
+    trans = jnp.sqrt(jnp.sum(pose_adjustment[:, :3] ** 2, axis=-1) + 1e-12).mean()
+    rot = jnp.sqrt(jnp.sum(pose_adjustment[:, 3:] ** 2, axis=-1) + 1e-12).mean()
+    return trans * trans_penalty + rot * rot_penalty

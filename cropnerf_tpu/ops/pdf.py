@@ -1,0 +1,151 @@
+"""Ray samplers: spaced (uniform / piecewise-lin-disp) and inverse-CDF PDF
+resampling — all static-shape, jit-safe.
+
+TPU-native equivalents of nerfstudio's ``UniformSampler`` /
+``UniformLinDispPiecewiseSampler`` / ``PDFSampler`` used by the
+``ProposalNetworkSampler`` bound at
+/root/reference/crop_nerf/fruit_nerf/fruit_nerf.py:157-164, and of the
+plugin's own ``UniformSamplerWithNoise``
+(/root/reference/crop_nerf/fruit_nerf/components/ray_samplers.py:31-104).
+
+Design notes:
+  * searchsorted over per-ray CDFs is done as a comparison-sum
+    (sum of cdf <= u along the bin axis): a dense VPU reduction that XLA
+    fuses, instead of a vmapped binary-search loop — faster on TPU for the
+    bin counts involved (<= 512).
+  * Randomness is explicit (jax PRNG keys threaded by the caller).
+"""
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.rays import RayBundle, RaySamples, ray_samples_from_bins
+
+
+# ---------------------------------------------------------------------------
+# Spacing functions: map euclidean t → warped s and back.
+# ---------------------------------------------------------------------------
+
+def spacing_uniform() -> Tuple[Callable, Callable]:
+    return (lambda t: t), (lambda s: s)
+
+
+def spacing_piecewise() -> Tuple[Callable, Callable]:
+    """Half the samples uniform in [near, mid], half uniform in disparity —
+    nerfstudio ``UniformLinDispPiecewiseSampler`` (nerfacto initial sampler).
+    fn: t<1 → t/2 ; t>=1 → 1 - 1/(2t).  inv: s<.5 → 2s ; s>=.5 → 1/(2-2s).
+    """
+    def fn(t):
+        return jnp.where(t < 1.0, t / 2.0, 1.0 - 1.0 / (2.0 * jnp.maximum(t, 1e-12)))
+
+    def inv(s):
+        return jnp.where(s < 0.5, 2.0 * s, 1.0 / jnp.maximum(2.0 - 2.0 * s, 1e-12))
+
+    return fn, inv
+
+
+def make_s_to_t(spacing: Tuple[Callable, Callable], nears: jnp.ndarray,
+                fars: jnp.ndarray) -> Callable:
+    """Bind a spacing-fn pair to per-ray near/far: s in [0,1] → t."""
+    fn, inv = spacing
+    s_near = fn(nears)[..., None]
+    s_far = fn(fars)[..., None]
+
+    def s_to_t(s):
+        return inv(s_near + s * (s_far - s_near))
+
+    return s_to_t
+
+
+# ---------------------------------------------------------------------------
+# Samplers
+# ---------------------------------------------------------------------------
+
+def sample_spaced(key: jax.Array | None, ray_bundle: RayBundle,
+                  num_samples: int, spacing: Tuple[Callable, Callable],
+                  train: bool, single_jitter: bool = True) -> RaySamples:
+    """Uniform-in-s stratified sampling (nerfstudio SpacedSampler semantics:
+    jitter bin edges between neighbouring bin centers)."""
+    R = ray_bundle.num_rays
+    bins = jnp.linspace(0.0, 1.0, num_samples + 1)          # [S+1]
+    bins = jnp.broadcast_to(bins, (R, num_samples + 1))
+    if train and key is not None:
+        if single_jitter:
+            t_rand = jax.random.uniform(key, (R, 1))
+        else:
+            t_rand = jax.random.uniform(key, (R, num_samples + 1))
+        centers = 0.5 * (bins[..., 1:] + bins[..., :-1])
+        upper = jnp.concatenate([centers, bins[..., -1:]], axis=-1)
+        lower = jnp.concatenate([bins[..., :1], centers], axis=-1)
+        bins = lower + (upper - lower) * t_rand
+    s_to_t = make_s_to_t(spacing, ray_bundle.nears, ray_bundle.fars)
+    return ray_samples_from_bins(ray_bundle, bins, s_to_t)
+
+
+def sample_pdf(key: jax.Array | None, ray_bundle: RayBundle,
+               existing_bins: jnp.ndarray, weights: jnp.ndarray,
+               num_samples: int, spacing: Tuple[Callable, Callable],
+               train: bool, single_jitter: bool = True,
+               histogram_padding: float = 0.01,
+               include_original: bool = False) -> RaySamples:
+    """Inverse-CDF resampling of ``num_samples`` new bins from a weight
+    histogram over ``existing_bins`` (s-space, [R, S+1]); weights [R, S].
+
+    Mirrors nerfstudio ``PDFSampler`` (stratified, histogram_padding 1e-2,
+    weights detached).
+    """
+    weights = jax.lax.stop_gradient(weights) + histogram_padding
+
+    num_bins = num_samples + 1
+    pdf = weights / jnp.maximum(jnp.sum(weights, axis=-1, keepdims=True), 1e-10)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # [R, S+1]
+    cdf = jnp.minimum(cdf, 1.0)
+
+    R = weights.shape[0]
+    base = jnp.linspace(0.0, 1.0 - 1.0 / num_bins, num_bins)             # [nb]
+    base = jnp.broadcast_to(base, (R, num_bins))
+    if train and key is not None:
+        if single_jitter:
+            jitter = jax.random.uniform(key, (R, 1)) / num_bins
+        else:
+            jitter = jax.random.uniform(key, (R, num_bins)) / num_bins
+    else:
+        jitter = 0.5 / num_bins
+    u = base + jitter                                                     # [R, nb]
+
+    # searchsorted(cdf, u, side="right") as a fused comparison-sum.
+    inds = jnp.sum((cdf[..., None, :] <= u[..., :, None]).astype(jnp.int32),
+                   axis=-1)                                               # [R, nb]
+    S1 = cdf.shape[-1]
+    below = jnp.clip(inds - 1, 0, S1 - 1)
+    above = jnp.clip(inds, 0, S1 - 1)
+
+    cdf_g0 = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_g1 = jnp.take_along_axis(cdf, above, axis=-1)
+    bins_g0 = jnp.take_along_axis(existing_bins, below, axis=-1)
+    bins_g1 = jnp.take_along_axis(existing_bins, above, axis=-1)
+
+    denom = cdf_g1 - cdf_g0
+    t = jnp.where(denom > 1e-10, (u - cdf_g0) / jnp.maximum(denom, 1e-10), 0.0)
+    t = jnp.clip(t, 0.0, 1.0)
+    new_bins = bins_g0 + t * (bins_g1 - bins_g0)
+
+    if include_original:
+        new_bins = jnp.sort(
+            jnp.concatenate([existing_bins, new_bins], axis=-1), axis=-1)
+
+    s_to_t = make_s_to_t(spacing, ray_bundle.nears, ray_bundle.fars)
+    return ray_samples_from_bins(ray_bundle, new_bins, s_to_t)
+
+
+def sample_uniform_with_noise(key: jax.Array | None, ray_bundle: RayBundle,
+                              num_samples: int) -> RaySamples:
+    """Export-time sampler: uniform linear bins between per-ray near/far with
+    stratified jitter between bin centers — the plugin's
+    ``UniformSamplerWithNoise`` (components/ray_samplers.py:31-104)."""
+    return sample_spaced(key, ray_bundle, num_samples, spacing_uniform(),
+                         train=key is not None, single_jitter=False)

@@ -1,0 +1,171 @@
+"""The jitted train/eval steps.
+
+One fused XLA computation per training step
+(≙ Trainer.train_iteration → pipeline.get_train_loss_dict → model forward →
+losses → AMP backward → per-group optimizer step, SURVEY §3.1): pixel
+sampling, ray generation, proposal sampling, field eval, rendering, losses,
+backward, and the optimizer update all live inside ``train_step``.  On a
+multi-chip mesh the ray batch shards over the ``data`` axis and XLA inserts
+the gradient ``psum`` (overlapped with backward by the latency-hiding
+scheduler); parameters are replicated — the reference's DDP equivalent
+(fruit_pipeline.py:119-121) without NCCL hooks.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..core.cameras import Cameras, generate_rays, near_far_collider
+from ..core.rays import RayBundle
+from ..data.databank import PixelBank, decode_pixel_index
+from ..models.config import TrainConfig
+from ..models.model import anneal_factor, forward
+from ..ops import losses as loss_ops
+from ..ops import metrics as metric_ops
+from .optim import make_optimizer
+from .state import TrainState
+
+
+def _prop_update_flag(step: jnp.ndarray, cfg) -> jnp.ndarray:
+    """Proposal-network update schedule (fruit_nerf.py:144-149): the update
+    period ramps linearly from 1 to ``proposal_update_every`` over
+    ``proposal_warmup`` steps; prop nets receive interlevel gradients only on
+    update steps."""
+    m = cfg.model
+    period = jnp.clip(step.astype(jnp.float32) / m.proposal_warmup
+                      * m.proposal_update_every, 1.0, m.proposal_update_every)
+    period = jnp.round(period).astype(jnp.int32)
+    return (step % period == 0).astype(jnp.float32)
+
+
+def compute_losses(params: Dict, outputs: Dict, rgb_gt: jnp.ndarray,
+                   mask_gt: jnp.ndarray, cfg: TrainConfig,
+                   prop_flag: jnp.ndarray | float = 1.0) -> Tuple[jnp.ndarray, Dict]:
+    """Loss dict ≙ fruit_nerf.py:601-615 + camera-opt regularizer."""
+    m = cfg.model
+    rgb_loss = loss_ops.mse_loss(outputs["rgb"], rgb_gt)
+    sem_loss = loss_ops.bce_with_logits(outputs["semantics"][..., 0], mask_gt)
+    inter = loss_ops.interlevel_loss(outputs["weights_list"],
+                                     outputs["sdist_list"])
+    dist = loss_ops.distortion_loss(outputs["weights_list"][-1],
+                                    outputs["sdist_list"][-1])
+    cam_reg = loss_ops.camera_opt_regularizer(
+        params["camera_opt"], m.camera_opt.trans_l2_penalty,
+        m.camera_opt.rot_l2_penalty)
+    if m.camera_opt.mode == "off":
+        cam_reg = 0.0 * cam_reg
+    loss = (rgb_loss
+            + m.semantic_loss_weight * sem_loss
+            + m.interlevel_loss_mult * inter * prop_flag
+            + m.distortion_loss_mult * dist
+            + cam_reg)
+    return loss, {
+        "loss": loss, "rgb_loss": rgb_loss, "semantics_loss": sem_loss,
+        "interlevel_loss": inter, "distortion_loss": dist,
+        "camera_opt_regularizer": cam_reg,
+    }
+
+
+def make_train_step(cfg: TrainConfig, mesh: Optional[jax.sharding.Mesh] = None,
+                    donate: bool = True):
+    """Build the jitted train step.
+
+    Returns ``train_step(state, bank, key) -> (state, metrics)``.
+    If ``mesh`` is given (1-D axis ``data``), the ray batch is shard-annotated
+    over it; otherwise single-device.
+    """
+    tx = make_optimizer(cfg)
+    m = cfg.model
+    R = cfg.train_num_rays_per_batch
+
+    def shard_rays(x):
+        if mesh is None:
+            return x
+        spec = jax.sharding.PartitionSpec(*(("data",) + (None,) * (x.ndim - 1)))
+        return jax.lax.with_sharding_constraint(
+            x, jax.sharding.NamedSharding(mesh, spec))
+
+    def loss_fn(params, bank: PixelBank, idx, key, step):
+        cam, px, py = decode_pixel_index(idx, bank.height, bank.width)
+        rgb_gt = bank.rgb[idx].astype(jnp.float32) / 255.0
+        mask_gt = bank.mask[idx].astype(jnp.float32)
+        origins, dirs = generate_rays(bank.cameras, cam, px, py)
+        rb = RayBundle(origins=origins, directions=dirs,
+                       nears=jnp.zeros((R,)), fars=jnp.ones((R,)),
+                       camera_idx=cam)
+        rb = near_far_collider(rb, m.near_plane, m.far_plane)
+        anneal = anneal_factor(step, m)
+        outputs = forward(params, rb, m, key=key, train=True, anneal=anneal)
+        prop_flag = _prop_update_flag(step, cfg)
+        loss, aux = compute_losses(params, outputs, rgb_gt, mask_gt, cfg,
+                                   prop_flag)
+        aux["psnr"] = metric_ops.psnr(outputs["rgb"], rgb_gt)
+        return loss, aux
+
+    def train_step(state: TrainState, bank: PixelBank, key: jax.Array
+                   ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        key_idx, key_model = jax.random.split(key)
+        idx = jax.random.randint(key_idx, (R,), 0, bank.num_pixels)
+        idx = shard_rays(idx)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, aux), grads = grad_fn(state.params, bank, idx, key_model,
+                                  state.step)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(params=params, opt_state=opt_state,
+                             step=state.step + 1), aux
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_render_fn(cfg: TrainConfig, background: Optional[str] = None):
+    """Chunked full-image renderer ≙ get_outputs_for_camera_ray_bundle
+    (fruit_nerf.py:377-404), but the chunk loop is a ``lax.map`` inside one
+    jit — each chunk is a fixed-shape slab so there is exactly one compile.
+
+    Returns ``render(params, cameras, cam_index, height, width) -> outputs``
+    with image-shaped arrays [H, W, C].
+    """
+    m = cfg.model
+    chunk = cfg.eval_num_rays_per_chunk
+
+    @functools.partial(jax.jit, static_argnums=(3, 4))
+    def render(params, cameras: Cameras, cam_index, height: int, width: int):
+        ys, xs = jnp.meshgrid(jnp.arange(height), jnp.arange(width),
+                              indexing="ij")
+        xs = xs.reshape(-1)
+        ys = ys.reshape(-1)
+        n = xs.shape[0]
+        n_pad = (-n) % chunk
+        xs = jnp.concatenate([xs, jnp.zeros((n_pad,), xs.dtype)])
+        ys = jnp.concatenate([ys, jnp.zeros((n_pad,), ys.dtype)])
+        cam = jnp.full_like(xs, cam_index)
+
+        def render_chunk(args):
+            cx, px, py = args
+            origins, dirs = generate_rays(cameras, cx, px, py)
+            rb = RayBundle(origins=origins, directions=dirs,
+                           nears=jnp.zeros_like(px, jnp.float32),
+                           fars=jnp.ones_like(px, jnp.float32),
+                           camera_idx=cx)
+            rb = near_far_collider(rb, m.near_plane, m.far_plane)
+            out = forward(params, rb, m, key=None, train=False,
+                          background=background)
+            return {k: out[k] for k in
+                    ("rgb", "accumulation", "depth", "semantics",
+                     "semantics_colormap")}
+
+        shaped = jax.lax.map(render_chunk,
+                             (cam.reshape(-1, chunk), xs.reshape(-1, chunk),
+                              ys.reshape(-1, chunk)))
+        out = {}
+        for k, v in shaped.items():
+            flat = v.reshape(-1, v.shape[-1])[:n]
+            out[k] = flat.reshape(height, width, -1)
+        return out
+
+    return render
