@@ -1,0 +1,78 @@
+"""Benchmark: training-step throughput (rays/s) of the base ``cropnerf``
+preset on one chip, end-to-end (pixel sampling + ray gen + proposal sampling
++ field + render + losses + backward + optimizer), steady state.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N}
+
+Baseline anchor: the reference publishes no numbers (BASELINE.md); the
+denominator used here is 100_000 rays/s — a representative nerfstudio
+nerfacto-class training throughput for the reference's single-GPU docker
+setup (README.md:75) at the same base config (4096 rays × ~400 samples/ray).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_RAYS_PER_S = 100_000.0
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    from cropnerf_tpu.core.cameras import Cameras
+    from cropnerf_tpu.data.databank import build_pixel_bank
+    from cropnerf_tpu.models.config import PRESETS
+    from cropnerf_tpu.train.state import create_train_state
+    from cropnerf_tpu.train.step import make_train_step
+
+    cfg = PRESETS["cropnerf"]
+    R = cfg.train_num_rays_per_batch
+
+    # synthetic bank with realistic shapes (n images at ~1200x800)
+    n_img, h, w = 32, 800, 1200
+    rng = np.random.RandomState(0)
+    images = rng.randint(0, 255, (n_img, h, w, 3), dtype=np.uint8)
+    masks = (rng.rand(n_img, h, w) > 0.9).astype(np.uint8)
+    c2w = np.tile(np.eye(3, 4, dtype=np.float32)[None], (n_img, 1, 1))
+    c2w[:, :, 3] = rng.randn(n_img, 3) * 0.5
+    cams = Cameras(
+        c2w=jnp.asarray(c2w),
+        fx=jnp.full((n_img,), 1000.0), fy=jnp.full((n_img,), 1000.0),
+        cx=jnp.full((n_img,), w / 2.0), cy=jnp.full((n_img,), h / 2.0),
+        width=jnp.full((n_img,), w, jnp.int32),
+        height=jnp.full((n_img,), h, jnp.int32))
+    bank = build_pixel_bank(images, masks, cams)
+
+    state = create_train_state(jax.random.PRNGKey(0), cfg, num_images=n_img)
+    step = make_train_step(cfg)
+
+    key = jax.random.PRNGKey(1)
+    # warmup / compile
+    for _ in range(3):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, bank, sub)
+    jax.block_until_ready(metrics["loss"])
+
+    iters = 50
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, bank, sub)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    rays_per_s = iters * R / dt
+    print(json.dumps({
+        "metric": "train_rays_per_s_single_chip",
+        "value": round(rays_per_s, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,218 @@
+"""Training engine: loop, eval cadence, checkpointing, logging.
+
+Equivalent of the nerfstudio ``Trainer`` as configured by the reference
+(/root/reference/crop_nerf/fruit_nerf/fruit_nerf_config.py:29-65: 40k steps,
+eval every 500, save every 2000, mixed precision) — re-designed for TPU:
+the whole step is one jitted XLA program (no AMP GradScaler; bf16 matmuls
+need no loss scaling), metrics are fetched asynchronously, and checkpoints
+are orbax pytrees with the reference's config-next-to-checkpoint convention
+(SURVEY §5.4) so export/projection tools can bootstrap from a run directory.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.cameras import Cameras
+from ..data.databank import PixelBank, build_pixel_bank
+from ..data.dataparser import DataparserConfig, DataparserOutputs, parse_transforms
+from ..data.dataset import load_split
+from ..models.config import PRESETS, TrainConfig
+from ..ops import metrics as metric_ops
+from .state import TrainState, create_train_state
+from .step import make_render_fn, make_train_step
+
+
+def cameras_from_outputs(out: DataparserOutputs) -> Cameras:
+    return Cameras(
+        c2w=jnp.asarray(out.c2w),
+        fx=jnp.asarray(out.fx), fy=jnp.asarray(out.fy),
+        cx=jnp.asarray(out.cx), cy=jnp.asarray(out.cy),
+        width=jnp.asarray(out.width), height=jnp.asarray(out.height),
+        distortion=(jnp.asarray(out.distortion)
+                    if np.abs(out.distortion).max() > 0 else None))
+
+
+class Trainer:
+    """Single-host training driver.
+
+    Multi-chip: pass ``mesh`` (1-D ``data`` axis over local/global devices);
+    the train step shards the ray batch and XLA all-reduces gradients over
+    ICI (the reference's DDP equivalent, fruit_pipeline.py:119-121).
+    """
+
+    def __init__(self, cfg: TrainConfig, data_config: DataparserConfig,
+                 output_dir: Path, mesh: Optional[jax.sharding.Mesh] = None,
+                 experiment_name: str = "cropnerf"):
+        self.cfg = cfg
+        self.data_config = data_config
+        self.output_dir = Path(output_dir)
+        self.mesh = mesh
+        self.experiment_name = experiment_name
+
+        self.train_outputs = parse_transforms(data_config, "train")
+        self.eval_outputs = parse_transforms(data_config, "eval")
+        images, masks = load_split(self.train_outputs)
+        self.bank: PixelBank = build_pixel_bank(
+            images, masks, cameras_from_outputs(self.train_outputs))
+        self.eval_images, self.eval_masks = load_split(self.eval_outputs)
+        self.eval_cameras = cameras_from_outputs(self.eval_outputs)
+
+        key = jax.random.PRNGKey(cfg.seed)
+        self.state: TrainState = create_train_state(
+            key, cfg, num_images=self.bank.num_images)
+        self.train_step = make_train_step(cfg, mesh=mesh)
+        self.render = make_render_fn(cfg)
+        self._loop_key = jax.random.PRNGKey(cfg.seed + 1)
+
+        self.ckpt_dir = self.output_dir / "checkpoints"
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+        self._write_run_metadata()
+
+    # -- checkpointing (≙ nerfstudio config.yml + step-*.ckpt, SURVEY §5.4) --
+
+    def _write_run_metadata(self) -> None:
+        meta = {
+            "experiment_name": self.experiment_name,
+            "config": dataclasses.asdict(self.cfg),
+            "data_config": {k: str(v) for k, v in
+                            dataclasses.asdict(self.data_config).items()},
+            "dataparser_transform":
+                self.train_outputs.dataparser_transform.tolist(),
+            "dataparser_scale": self.train_outputs.dataparser_scale,
+        }
+        (self.output_dir / "run_config.json").write_text(
+            json.dumps(meta, indent=2, default=str))
+        # exporter-compatible transforms file (scripts/exporter.py:100-101)
+        (self.output_dir / "dataparser_transforms.json").write_text(json.dumps({
+            "transform": self.train_outputs.dataparser_transform.tolist(),
+            "scale": self.train_outputs.dataparser_scale,
+        }, indent=2))
+
+    def save_checkpoint(self) -> None:
+        import orbax.checkpoint as ocp
+        step = int(self.state.step)
+        path = (self.ckpt_dir / f"step-{step:09d}").absolute()
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, jax.device_get(
+            {"params": self.state.params, "step": self.state.step}))
+        ckptr.wait_until_finished()
+
+    def load_checkpoint(self, path: Path) -> None:
+        import orbax.checkpoint as ocp
+        ckptr = ocp.StandardCheckpointer()
+        target = {"params": jax.device_get(self.state.params),
+                  "step": jax.device_get(self.state.step)}
+        restored = ckptr.restore(Path(path).absolute(), target)
+        self.state = self.state.replace(params=restored["params"],
+                                        step=restored["step"])
+
+    # -- eval (≙ get_eval_image_metrics_and_images, fruit_nerf.py:647-702) --
+
+    def eval_image(self, eval_idx: int = 0) -> Dict[str, float]:
+        h = int(self.eval_cameras.height[eval_idx])
+        w = int(self.eval_cameras.width[eval_idx])
+        out = self.render(self.state.params, self.eval_cameras,
+                          jnp.int32(eval_idx), h, w)
+        gt = jnp.asarray(self.eval_images[eval_idx]).astype(jnp.float32) / 255.
+        mask_gt = jnp.asarray(self.eval_masks[eval_idx]).astype(jnp.float32)
+        m = {
+            "eval_psnr": float(metric_ops.psnr(out["rgb"], gt)),
+            "eval_ssim": float(metric_ops.ssim(out["rgb"], gt)),
+            "eval_iou": float(metric_ops.binary_iou(
+                out["semantics_colormap"][..., 0], mask_gt)),
+        }
+        return m
+
+    # -- main loop (≙ Trainer.train, SURVEY §3.1) --
+
+    def train(self, num_steps: Optional[int] = None,
+              log_every: int = 100) -> Dict[str, float]:
+        cfg = self.cfg
+        total = num_steps or cfg.max_num_iterations
+        last_metrics: Dict[str, float] = {}
+        t0 = time.perf_counter()
+        rays_done = 0
+        for i in range(total):
+            self._loop_key, sub = jax.random.split(self._loop_key)
+            self.state, metrics = self.train_step(self.state, self.bank, sub)
+            rays_done += cfg.train_num_rays_per_batch
+            step = int(self.state.step)
+            if step % log_every == 0 or i == total - 1:
+                m = {k: float(v) for k, v in metrics.items()}
+                dt = time.perf_counter() - t0
+                m["rays_per_s"] = rays_done / max(dt, 1e-9)
+                m["step"] = step
+                last_metrics = m
+                print(f"[step {step}] loss={m['loss']:.4f} "
+                      f"psnr={m['psnr']:.2f} rays/s={m['rays_per_s']:.0f}",
+                      flush=True)
+            if step % cfg.steps_per_eval_image == 0 and step > 0:
+                last_metrics.update(self.eval_image(0))
+                print(f"[step {step}] eval "
+                      f"psnr={last_metrics['eval_psnr']:.2f} "
+                      f"iou={last_metrics['eval_iou']:.3f}", flush=True)
+            if step % cfg.steps_per_save == 0 and step > 0:
+                self.save_checkpoint()
+        self.save_checkpoint()
+        return last_metrics
+
+
+def load_trainer_from_run(run_dir: Path,
+                          mesh: Optional[jax.sharding.Mesh] = None) -> Trainer:
+    """Bootstrap a Trainer (model + data + latest checkpoint) from a run
+    directory — ≙ nerfstudio ``eval_setup(config.yml)``
+    (scripts/exporter.py:87, scripts/semantic_projection.py:139-143)."""
+    run_dir = Path(run_dir)
+    meta = json.loads((run_dir / "run_config.json").read_text())
+    cfg_dict = meta["config"]
+    preset = PRESETS["cropnerf"]
+
+    def build(dc_cls, d):
+        fields = {f.name: f for f in dataclasses.fields(dc_cls)}
+        kwargs = {}
+        for k, v in d.items():
+            if k not in fields:
+                continue
+            ft = fields[k].type
+            if dataclasses.is_dataclass(getattr(preset, "model", None)) and k == "model":
+                from ..models.config import ModelConfig
+                kwargs[k] = build_model_config(v)
+            else:
+                kwargs[k] = v
+        return dc_cls(**kwargs)
+
+    from ..models.config import (CameraOptConfig, FieldConfig, HashGridConfig,
+                                 ModelConfig, ProposalFieldConfig)
+
+    def build_model_config(d):
+        return ModelConfig(
+            field=FieldConfig(**{**d["field"],
+                                 "grid": HashGridConfig(**d["field"]["grid"])}),
+            proposal_fields=tuple(
+                ProposalFieldConfig(**{**p, "grid": HashGridConfig(**p["grid"])})
+                for p in d["proposal_fields"]),
+            camera_opt=CameraOptConfig(**d["camera_opt"]),
+            **{k: (tuple(v) if isinstance(v, list) else v)
+               for k, v in d.items()
+               if k not in ("field", "proposal_fields", "camera_opt")})
+
+    cfg = build(TrainConfig, cfg_dict)
+    dc = meta["data_config"]
+    data_config = DataparserConfig(
+        data_dir=Path(dc["data_dir"]),
+        train_split_fraction=float(dc["train_split_fraction"]),
+        semantic_dir=dc["semantic_dir"])
+    trainer = Trainer(cfg, data_config, run_dir, mesh=mesh,
+                      experiment_name=meta.get("experiment_name", "cropnerf"))
+    ckpts = sorted((run_dir / "checkpoints").glob("step-*"))
+    if ckpts:
+        trainer.load_checkpoint(ckpts[-1])
+    return trainer
