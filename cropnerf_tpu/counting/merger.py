@@ -1,0 +1,221 @@
+"""Crop-instance merging and counting — the paper's core algorithm.
+
+Equivalent of /root/reference/crop_nerf/segmentation/merger.py:190-460:
+
+  1. Per subcluster × sampled camera, score the projections
+     (:func:`wo_occlusion_area`, :func:`visible_projection_stats`):
+     occlusion-free area via binary threshold + largest contour; visible
+     area, dominant GT instance label, and label-overlap area inside the
+     occlusion-free bbox.
+  2. Reliability per camera (``--area_normalize`` semantics, :313-320).
+  3. Pairwise affinity: Σ rel_i·rel_j over cameras where both subclusters
+     see the *same* nonzero GT label minus Σ where they see *different*
+     labels (:335-355).
+  4. Graph partition (clique / bridge / community) → instances; global
+     label offsetting across superclusters → total crop count (:359-460).
+
+Pure host-side (cv2 + numpy + networkx) exactly like the reference — the
+inputs are PNG projections and the supercluster npy artifact.
+"""
+from __future__ import annotations
+
+import dataclasses
+from collections import Counter
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import cv2
+import numpy as np
+
+from ..export.ply import write_ply
+from .graph import partition
+
+EPS = 1e-6
+
+
+@dataclasses.dataclass
+class MergerConfig:
+    """Defaults ≙ merger.py:360-378."""
+    visible_img_prefix: str = "visible_cluster"
+    wo_occ_img_prefix: str = "wo_occ_cluster"
+    area_normalize: bool = False
+    graph_partition: str = "clique"
+    binary_threshold: int = 100
+    frame_sampling_interval: int = 10
+    n_thread: int = 10
+    max_super_clusters: int = 17
+
+
+def wo_occlusion_area(path: Path, thres: int
+                      ) -> Tuple[float, Optional[Tuple[int, int, int, int]]]:
+    """Occlusion-free projected area: threshold + largest contour area, and
+    its bounding box (x0, y0, x1, y1) (merger.py:257-277).  Returns
+    (EPS, None) when the projection is empty/too small."""
+    img = cv2.imread(str(path), cv2.IMREAD_GRAYSCALE)
+    if img is None:
+        return EPS, None
+    _, binary = cv2.threshold(img, thres, 255, cv2.THRESH_BINARY)
+    contours, _ = cv2.findContours(binary, cv2.RETR_TREE,
+                                   cv2.CHAIN_APPROX_SIMPLE)
+    if not contours:
+        return EPS, None
+    cnt = max(contours, key=cv2.contourArea)
+    area = cv2.contourArea(cnt)
+    if area < 10:
+        return EPS, None
+    x, y, w, h = cv2.boundingRect(cnt)
+    return area, (x, y, x + w, y + h)
+
+
+def visible_projection_stats(cam_dir: Path, cid: int, bbox, thres: int,
+                             cfg: MergerConfig) -> Tuple[float, int, float]:
+    """(visible area, dominant GT label, label overlap area) within the
+    occlusion-free bbox (merger.py:219-255).  The filled largest contour of
+    the visibility projection is intersected with the GT label image; the
+    label covering the most pixels wins (background label 0 → area 0)."""
+    vis_path = cam_dir / f"{cfg.visible_img_prefix}_{cid}.png"
+    label_paths = sorted(cam_dir.glob("label_*.png"))
+    img = cv2.imread(str(vis_path), cv2.IMREAD_GRAYSCALE)
+    if img is None or not label_paths:
+        return EPS, 0, EPS
+    x0, y0, x1, y1 = bbox
+    img = img[y0:y1, x0:x1]
+    _, binary = cv2.threshold(img, thres, 255, cv2.THRESH_BINARY)
+    contours, _ = cv2.findContours(binary, cv2.RETR_TREE,
+                                   cv2.CHAIN_APPROX_SIMPLE)
+    if not contours:
+        return EPS, 0, EPS
+    cnt = max(contours, key=cv2.contourArea)
+    mask = np.zeros_like(binary)
+    cv2.drawContours(mask, [cnt], contourIdx=-1, color=255, thickness=-1)
+    mask = mask.astype(bool)
+    area = float(mask.sum())
+    if area < 10:
+        return EPS, 0, EPS
+    label_img = cv2.imread(str(label_paths[0]), cv2.IMREAD_GRAYSCALE)
+    labels = label_img[y0:y1, x0:x1][mask]
+    counted = sorted(((v, k) for k, v in Counter(labels.tolist()).items()),
+                     reverse=True)
+    label_area, label = counted[0]
+    label_area = 0.0 if label == 0 else float(label_area)
+    return area, int(label), label_area
+
+
+def process_super_cluster(projection_dir: Path, n_subclusters: int,
+                          cfg: MergerConfig) -> Dict[int, Dict[str, np.ndarray]]:
+    """Per-subcluster per-camera score vectors (merger.py:279-333)."""
+    cam_dirs = sorted(projection_dir.glob("cam_*"))
+    n_cams = max((int(d.name.split("_")[-1]) for d in cam_dirs), default=-1) + 1
+    props: Dict[int, Dict[str, np.ndarray]] = {}
+    for cid in range(n_subclusters):
+        vis_area = EPS * np.ones(n_cams)
+        wo_occ = EPS * np.ones(n_cams)
+        overlap_area = EPS * np.ones(n_cams)
+        overlap_label = np.zeros(n_cams)
+        for cam_dir in cam_dirs[::cfg.frame_sampling_interval]:
+            cam_id = int(cam_dir.name.split("_")[-1])
+            area, bbox = wo_occlusion_area(
+                cam_dir / f"{cfg.wo_occ_img_prefix}_{cid}.png",
+                cfg.binary_threshold)
+            wo_occ[cam_id] = area
+            if bbox is None:
+                vis_area[cam_id] = area
+                continue
+            v_area, label, l_area = visible_projection_stats(
+                cam_dir, cid, bbox, cfg.binary_threshold, cfg)
+            vis_area[cam_id] = v_area
+            overlap_area[cam_id] = l_area
+            overlap_label[cam_id] = label
+        wo_occ_norm = wo_occ / wo_occ.max()
+        if cfg.area_normalize:
+            reliability = wo_occ_norm * (overlap_area / wo_occ)
+        else:
+            reliability = np.ones_like(wo_occ)
+        props[cid] = {
+            "visible_area": vis_area,
+            "wo_occ_area": wo_occ,
+            "wo_occ_area_norm": wo_occ_norm,
+            "label": overlap_label,
+            "label_overlap_area": overlap_area,
+            "reliability": reliability,
+        }
+    return props
+
+
+def calc_affinity(props: Dict[int, Dict[str, np.ndarray]]) -> np.ndarray:
+    """Signed pairwise affinity (merger.py:335-355)."""
+    n = len(props)
+    affinity = np.zeros((n, n))
+    for i in range(n):
+        li, ri = props[i]["label"], props[i]["reliability"]
+        for j in range(i + 1, n):
+            lj, rj = props[j]["label"], props[j]["reliability"]
+            same = (li == lj) & (li != 0) & (lj != 0)
+            diff = (li != lj) & (li != 0) & (lj != 0)
+            a = ri[same] @ rj[same] - ri[diff] @ rj[diff]
+            affinity[i, j] = affinity[j, i] = a
+    return affinity
+
+
+@dataclasses.dataclass
+class CountResult:
+    total_count: int
+    per_super_cluster: List[int]
+    labels: List[np.ndarray]          # per supercluster, per subcluster
+    affinities: List[np.ndarray]
+
+
+def count_instances(projection_dir: Path, super_cluster_info: np.ndarray,
+                    cfg: MergerConfig = MergerConfig()) -> CountResult:
+    """Count crop instances across all superclusters (merger.py:389-445):
+    thread pool over superclusters, per-cluster partitioning, global label
+    offsetting."""
+    projection_dir = Path(projection_dir)
+    n_super = min(cfg.max_super_clusters, len(super_cluster_info))
+    n_sub = super_cluster_info[0]["aabb"].shape[0]
+
+    def handle(idx: int):
+        sc_dir = projection_dir / f"super_cluster_{idx}"
+        props = process_super_cluster(sc_dir, n_sub, cfg)
+        affinity = calc_affinity(props)
+        n_comp, labels = partition(affinity, cfg.graph_partition)
+        return n_comp, labels, affinity
+
+    with ThreadPoolExecutor(max_workers=cfg.n_thread) as pool:
+        outputs = list(pool.map(handle, range(n_super)))
+
+    total = 0
+    counts, labels_list, affinities = [], [], []
+    for n_comp, labels, aff in outputs:
+        labels_list.append(labels + total)
+        counts.append(n_comp)
+        affinities.append(aff)
+        total += n_comp
+    print(f"Total bool: {total}")
+    return CountResult(total_count=total, per_super_cluster=counts,
+                       labels=labels_list, affinities=affinities)
+
+
+_PALETTE = np.array(
+    [[230, 25, 75], [60, 180, 75], [255, 225, 25], [0, 130, 200],
+     [245, 130, 48], [145, 30, 180], [70, 240, 240], [240, 50, 230],
+     [210, 245, 60], [250, 190, 212], [0, 128, 128], [220, 190, 255],
+     [170, 110, 40], [255, 250, 200], [128, 0, 0], [170, 255, 195],
+     [128, 128, 0], [255, 215, 180], [0, 0, 128], [128, 128, 128]],
+    np.uint8)
+
+
+def write_instance_cloud(path: Path, super_cluster_info: np.ndarray,
+                         result: CountResult) -> None:
+    """Instance-labelled result cloud ≙ full_tree_seg_result.ply
+    (merger.py:446-460)."""
+    pts, cols = [], []
+    for s, labels in enumerate(result.labels):
+        info = super_cluster_info[s]
+        for cid, p in info["pcd"].items():
+            lbl = int(labels[cid])
+            pts.append(p)
+            cols.append(np.tile(_PALETTE[lbl % len(_PALETTE)], (len(p), 1)))
+    if pts:
+        write_ply(path, np.concatenate(pts), np.concatenate(cols))

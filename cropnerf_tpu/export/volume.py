@@ -75,7 +75,11 @@ def sample_volume(params, model_cfg: ModelConfig, aabb: np.ndarray,
                   num_samples: Optional[int] = None,
                   render_rgb: bool = False,
                   axis: int = 2,
-                  seed: int = 0) -> Dict[str, ExportedCloud]:
+                  seed: int = 0,
+                  semantic_threshold: float = SEMANTIC_LOGIT_THRESHOLD,
+                  density_threshold: float = DENSITY_THRESHOLD,
+                  colormap_threshold: float = COLORMAP_THRESHOLD
+                  ) -> Dict[str, ExportedCloud]:
     """Dense volume sampling → {"semantic", "semantic_colormap", "density"}
     clouds in the dataparser (scaled) frame."""
     num_samples = num_samples or num_points_per_side
@@ -99,11 +103,11 @@ def sample_volume(params, model_cfg: ModelConfig, aabb: np.ndarray,
         rgb = (out["rgb"].reshape(-1, 3) if render_rgb
                else jnp.zeros((pts.shape[0], 3)))
         sig = jax.nn.sigmoid(sem)
-        mask_den = density >= DENSITY_THRESHOLD
+        mask_den = density >= density_threshold
         return {
             "pts": pts, "rgb": rgb, "sig": sig,
-            "mask_semantic": (sem >= SEMANTIC_LOGIT_THRESHOLD) & mask_den,
-            "mask_colormap": (sig >= COLORMAP_THRESHOLD) & mask_den,
+            "mask_semantic": (sem >= semantic_threshold) & mask_den,
+            "mask_colormap": (sig >= colormap_threshold) & mask_den,
             "mask_density": mask_den,
         }
 

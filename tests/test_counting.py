@@ -1,0 +1,193 @@
+"""Counting-stage tests with synthetic clusters of known count
+(SURVEY §4 test-strategy item (e))."""
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from cropnerf_tpu.counting import clustering
+from cropnerf_tpu.counting.graph import asyn_lpa_communities, partition
+from cropnerf_tpu.counting.merger import (MergerConfig, calc_affinity,
+                                          count_instances,
+                                          process_super_cluster)
+from cropnerf_tpu.counting.segmenter import (build_super_cluster_info,
+                                             get_super_clusters)
+from cropnerf_tpu.export.ply import read_ply, write_ply
+
+
+def blobs(centers, n=200, scale=0.01, seed=0):
+    rng = np.random.RandomState(seed)
+    return np.concatenate([
+        c + rng.randn(n, 3) * scale for c in np.asarray(centers, np.float32)
+    ]).astype(np.float32)
+
+
+class TestClustering:
+    def test_voxel_downsample(self):
+        pts = np.array([[0.0, 0, 0], [0.001, 0, 0], [1.0, 1, 1]], np.float32)
+        out = clustering.voxel_downsample(pts, 0.1)
+        assert out.shape[0] == 2
+
+    def test_dbscan_finds_blobs(self):
+        pts = blobs([[0, 0, 0], [1, 1, 1], [2, 0, 0]])
+        labels = clustering.dbscan(pts, eps=0.1, min_points=10)
+        assert len(set(labels[labels >= 0])) == 3
+
+    def test_outlier_removal(self):
+        pts = blobs([[0, 0, 0]], n=300)
+        pts = np.concatenate([pts, [[5.0, 5, 5]]]).astype(np.float32)
+        keep = clustering.statistical_outlier_removal(pts, 20, 2.0)
+        assert len(pts) - 1 not in keep      # the far outlier is dropped
+
+    def test_kmeans(self):
+        pts = blobs([[0, 0, 0], [1, 0, 0]])
+        labels = clustering.kmeans(pts, 2)
+        # each blob should be (almost) pure
+        first = labels[:200]
+        assert (first == np.bincount(first).argmax()).mean() > 0.95
+
+    def test_aabb(self):
+        pts = np.array([[0.0, 1, 2], [3, 4, 5]], np.float32)
+        box = clustering.aabb(pts)
+        np.testing.assert_allclose(box, [[0, 1, 2], [3, 4, 5]])
+
+
+class TestSegmenter:
+    def test_super_clusters(self):
+        pts = blobs([[0, 0, 0], [0.5, 0, 0]], n=500, scale=0.003)
+        out_pts, labels = get_super_clusters(pts, vx_size=1e-3)
+        assert len(set(labels)) == 2
+
+    def test_build_info_structure(self):
+        pts = blobs([[0, 0, 0], [0.5, 0, 0]], n=500, scale=0.003)
+        info = build_super_cluster_info(pts, k=2, vx_size=1e-3)
+        assert len(info) == 2
+        assert info[0]["aabb"].shape == (2, 2, 3)
+        assert set(info[0]["pcd"].keys()) == {0, 1}
+        # size-sorted: first supercluster at least as large as second
+        n0 = sum(len(p) for p in info[0]["pcd"].values())
+        n1 = sum(len(p) for p in info[1]["pcd"].values())
+        assert n0 >= n1
+
+
+class TestGraphPartition:
+    def test_clique_merges_positive_pairs(self):
+        aff = np.array([[0, 5, 0], [5, 0, 0], [0, 0, 0]], float)
+        n, labels = partition(aff, "clique")
+        assert n == 2
+        assert labels[0] == labels[1] != labels[2]
+
+    def test_clique_fully_connected(self):
+        aff = np.ones((4, 4)) - np.eye(4)
+        n, _ = partition(aff, "clique")
+        assert n == 1
+
+    def test_bridge_removes_bridges(self):
+        # two triangles connected by one bridge edge → 2 components
+        aff = np.zeros((6, 6))
+        for a, b in [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]:
+            aff[a, b] = aff[b, a] = 1
+        n, labels = partition(aff, "bridge")
+        assert n == 2
+
+    def test_community_lpa(self):
+        # two dense groups weakly connected
+        aff = np.zeros((6, 6))
+        for a, b in [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5)]:
+            aff[a, b] = aff[b, a] = 5.0
+        aff[2, 3] = aff[3, 2] = 0.1
+        n, labels = partition(aff, "community", seed=0)
+        assert n == 2
+        assert labels[0] == labels[1] == labels[2]
+        assert labels[3] == labels[4] == labels[5]
+
+    def test_lpa_isolated_nodes_keep_own_label(self):
+        import networkx as nx
+        G = nx.Graph()
+        G.add_nodes_from([0, 1])
+        coms = asyn_lpa_communities(G, seed=0)
+        assert len(coms) == 2
+
+
+class TestMergerScoring:
+    def _make_projection_tree(self, root: Path, n_cams=3, n_sub=2,
+                              same_instance=True):
+        """Synthesise projections: every subcluster projects to a bright
+        circle; GT label image gives both circles the same instance label
+        (→ should merge) or different labels (→ should stay separate)."""
+        import cv2
+        H = W = 120
+        for c in range(n_cams):
+            cam_dir = root / f"cam_{c}"
+            cam_dir.mkdir(parents=True, exist_ok=True)
+            label_img = np.zeros((H, W), np.uint8)
+            for i in range(n_sub):
+                center = (30 + 25 * i, 60)
+                img = np.zeros((H, W), np.uint8)
+                cv2.circle(img, center, 14, 255, -1)
+                cv2.imwrite(str(cam_dir / f"wo_occ_cluster_{i}.png"), img)
+                cv2.imwrite(str(cam_dir / f"visible_cluster_{i}.png"), img)
+                label = 1 if same_instance else 1 + i
+                cv2.circle(label_img, center, 16, label, -1)
+            cv2.imwrite(str(cam_dir / "label_frame_0000.png"), label_img)
+
+    def test_same_instance_merges(self, tmp_path):
+        self._make_projection_tree(tmp_path / "super_cluster_0",
+                                   same_instance=True)
+        cfg = MergerConfig(frame_sampling_interval=1)
+        props = process_super_cluster(tmp_path / "super_cluster_0", 2, cfg)
+        aff = calc_affinity(props)
+        assert aff[0, 1] > 0
+        n, _ = partition(aff, "clique")
+        assert n == 1
+
+    def test_different_instances_stay_separate(self, tmp_path):
+        self._make_projection_tree(tmp_path / "super_cluster_0",
+                                   same_instance=False)
+        cfg = MergerConfig(frame_sampling_interval=1)
+        props = process_super_cluster(tmp_path / "super_cluster_0", 2, cfg)
+        aff = calc_affinity(props)
+        assert aff[0, 1] < 0
+        n, _ = partition(aff, "clique")
+        assert n == 2
+
+    def test_count_instances_end_to_end(self, tmp_path):
+        # supercluster 0: both subclusters one instance → 1
+        # supercluster 1: two instances → 2.  Total = 3.
+        self._make_projection_tree(tmp_path / "super_cluster_0",
+                                   same_instance=True)
+        self._make_projection_tree(tmp_path / "super_cluster_1",
+                                   same_instance=False)
+        info = np.array([
+            {"aabb": np.zeros((2, 2, 3)),
+             "pcd": {0: np.zeros((4, 3)), 1: np.zeros((4, 3))}},
+            {"aabb": np.zeros((2, 2, 3)),
+             "pcd": {0: np.zeros((4, 3)), 1: np.zeros((4, 3))}},
+        ], dtype=object)
+        cfg = MergerConfig(frame_sampling_interval=1)
+        result = count_instances(tmp_path, info, cfg)
+        assert result.total_count == 3
+        assert result.per_super_cluster == [1, 2]
+        # global labels unique across superclusters
+        all_labels = np.concatenate(result.labels)
+        assert len(set(all_labels)) == 3
+
+
+class TestPly:
+    def test_roundtrip(self, tmp_path):
+        pts = np.random.RandomState(0).rand(50, 3).astype(np.float32)
+        cols = (np.random.RandomState(1).rand(50, 3) * 255).astype(np.uint8)
+        p = tmp_path / "test.ply"
+        write_ply(p, pts, cols)
+        pts2, cols2 = read_ply(p)
+        np.testing.assert_allclose(pts, pts2, rtol=1e-6)
+        np.testing.assert_array_equal(cols, cols2)
+
+    def test_roundtrip_with_alpha(self, tmp_path):
+        pts = np.random.RandomState(0).rand(10, 3).astype(np.float32)
+        cols = np.random.RandomState(1).rand(10, 3).astype(np.float32)
+        alpha = np.random.RandomState(2).rand(10).astype(np.float32)
+        p = tmp_path / "a.ply"
+        write_ply(p, pts, cols, alpha)
+        pts2, cols2 = read_ply(p)
+        np.testing.assert_allclose(pts, pts2, rtol=1e-6)

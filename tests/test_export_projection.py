@@ -1,0 +1,105 @@
+"""Export + projection stage tests (tiny model, CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cropnerf_tpu.export.volume import (orthographic_ray_grid, sample_volume,
+                                        unscale_points)
+from cropnerf_tpu.models.config import PRESETS
+from cropnerf_tpu.models.model import model_init
+from cropnerf_tpu.projection.project import (ClusterProjector,
+                                             _bucket,
+                                             _project_aabb_to_crop)
+
+from synthetic import ring_cameras
+
+CFG = PRESETS["cropnerf-tiny"]
+
+
+class TestOrthographicGrid:
+    def test_grid_covers_face(self):
+        aabb = np.array([[-1.0, -2, 0], [1, 2, 1]])
+        origins, direction, far = orthographic_ray_grid(aabb, 8, axis=2)
+        np.testing.assert_allclose(direction, [0, 0, 1])
+        assert far == pytest.approx(1.0)
+        assert origins[:, 2].max() == pytest.approx(0.0)
+        assert origins[:, 0].min() == pytest.approx(-1.0)
+        assert origins[:, 1].max() == pytest.approx(2.0)
+
+    def test_aspect_scaled_counts(self):
+        aabb = np.array([[0.0, 0, 0], [2, 1, 1]])
+        origins, _, _ = orthographic_ray_grid(aabb, 10, axis=2)
+        # x extent 2, z extent 1 → 20 x-points; y extent 1 → 10
+        assert origins.shape[0] == 20 * 10
+
+    def test_unscale(self):
+        pts = np.ones((4, 3))
+        out = unscale_points(pts, dataparser_scale=0.5)
+        np.testing.assert_allclose(out, 4.0)   # × 2/scale
+
+
+class TestSampleVolume:
+    def test_runs_and_filters(self):
+        params = model_init(jax.random.PRNGKey(0), CFG.model, num_images=2)
+        aabb = np.array([[-0.5, -0.5, -0.5], [0.5, 0.5, 0.5]], np.float32)
+        clouds = sample_volume(params, CFG.model, aabb,
+                               num_points_per_side=8, rays_per_batch=16,
+                               num_samples=8)
+        assert set(clouds) == {"semantic", "semantic_colormap", "density"}
+        for c in clouds.values():
+            assert c.points.shape[1] == 3
+            assert len(c.colors) == len(c.points) == len(c.alpha)
+
+    def test_low_thresholds_keep_points(self):
+        params = model_init(jax.random.PRNGKey(0), CFG.model, num_images=2)
+        aabb = np.array([[-0.5, -0.5, -0.5], [0.5, 0.5, 0.5]], np.float32)
+        clouds = sample_volume(params, CFG.model, aabb,
+                               num_points_per_side=8, rays_per_batch=16,
+                               num_samples=8,
+                               semantic_threshold=-100.0,
+                               density_threshold=0.0,
+                               colormap_threshold=0.0)
+        # with no thresholds every sampled point survives
+        assert len(clouds["density"].points) > 0
+        assert len(clouds["semantic"].points) > 0
+        # all inside the AABB
+        pts = clouds["density"].points
+        assert (pts >= aabb[0] - 1e-4).all() and (pts <= aabb[1] + 1e-4).all()
+
+
+class TestProjection:
+    def test_bucket(self):
+        assert _bucket(1) == 128
+        assert _bucket(128) == 128
+        assert _bucket(129) == 256
+
+    def test_crop_projection_contains_aabb(self):
+        cams = ring_cameras(n=2, height=64, width=64, focal=80.0)
+        aabb = np.array([[-0.2, -0.2, -0.2], [0.2, 0.2, 0.2]], np.float32)
+        crop = _project_aabb_to_crop(cams, 0, aabb, 64, 64)
+        assert crop is not None
+        x0, y0, x1, y1 = crop
+        assert 0 <= x0 < x1 <= 64 and 0 <= y0 < y1 <= 64
+        # box at origin viewed from a ring camera → crop near image center
+        assert x0 < 32 < x1 and y0 < 32 < y1
+
+    def test_crop_none_behind_camera(self):
+        cams = ring_cameras(n=2, height=64, width=64, focal=80.0)
+        # box far behind the first camera (camera at radius 1.2 looks at
+        # origin → behind is along +eye direction)
+        aabb = np.array([[2.4, -0.1, 0.2], [2.8, 0.1, 0.5]], np.float32)
+        crop = _project_aabb_to_crop(cams, 0, aabb, 64, 64)
+        assert crop is None
+
+    def test_projector_images(self):
+        params = model_init(jax.random.PRNGKey(0), CFG.model, num_images=2)
+        cams = ring_cameras(n=2, height=48, width=48, focal=60.0)
+        proj = ClusterProjector(params, CFG.model, cams, 48, 48)
+        aabb = np.array([[-0.2, -0.2, -0.2], [0.2, 0.2, 0.2]], np.float32)
+        wo_occ, visible = proj.project(0, aabb)
+        assert wo_occ.shape == (48, 48) and visible.shape == (48, 48)
+        assert np.isfinite(wo_occ).all() and np.isfinite(visible).all()
+        assert wo_occ.min() >= 0 and wo_occ.max() <= 1
+        # visibility can only remove mass
+        assert (visible <= wo_occ + 1e-6).all()
