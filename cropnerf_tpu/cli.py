@@ -1,0 +1,210 @@
+"""Command-line entry points.
+
+Equivalent of the reference's CLI surface (SURVEY §1 L6): ``ns-train
+fruit_nerf`` (debug/train.py), ``exporter.py semantic-pointcloud``,
+``semantic_projection.py``, ``segmenter.py``, ``merger.py``,
+``process_data.py`` — unified as subcommands of one argparse CLI (tyro is
+not available in this image):
+
+    python -m cropnerf_tpu.cli train --method cropnerf --data ... --output ...
+    python -m cropnerf_tpu.cli export --run-dir ... [--num-points-per-side N]
+    python -m cropnerf_tpu.cli segment --pcd-dir ... [--vx-size V]
+    python -m cropnerf_tpu.cli project --run-dir ... --pcd-dir ...
+    python -m cropnerf_tpu.cli count --projection-dir ... --pcd-dir ...
+    python -m cropnerf_tpu.cli process-labels --seg-dir ... --out-dir ...
+
+The method registry maps preset names to configs (≙ the
+NERFSTUDIO_METHOD_CONFIGS MethodSpecification registry, README.md:79).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import numpy as np
+
+
+def _add_train(sub):
+    p = sub.add_parser("train", help="train a semantic NeRF")
+    p.add_argument("--method", default="cropnerf",
+                   help="preset: cropnerf | cropnerf-big | cropnerf-huge | cropnerf-tiny")
+    p.add_argument("--data", type=Path, required=True,
+                   help="dataset dir containing transforms.json")
+    p.add_argument("--output", type=Path, required=True, help="run dir")
+    p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--semantic-dir", default="semantics")
+    p.add_argument("--train-split-fraction", type=float, default=0.95)
+    p.add_argument("--experiment-name", default="cropnerf")
+    p.add_argument("--multichip", action="store_true",
+                   help="shard rays over all local devices")
+
+
+def _cmd_train(args):
+    import jax
+    from .data.dataparser import DataparserConfig
+    from .models.config import PRESETS
+    from .train.trainer import Trainer
+
+    cfg = PRESETS[args.method]
+    data_cfg = DataparserConfig(
+        data_dir=args.data, semantic_dir=args.semantic_dir,
+        train_split_fraction=args.train_split_fraction)
+    mesh = None
+    if args.multichip and len(jax.devices()) > 1:
+        mesh = jax.sharding.Mesh(np.array(jax.devices()), ("data",))
+    trainer = Trainer(cfg, data_cfg, args.output, mesh=mesh,
+                      experiment_name=args.experiment_name)
+    metrics = trainer.train(num_steps=args.max_steps)
+    print(json.dumps({k: v for k, v in metrics.items()}, default=float))
+
+
+def _add_export(sub):
+    p = sub.add_parser("export", help="export semantic point clouds "
+                       "(semantic-pointcloud ≙ scripts/exporter.py)")
+    p.add_argument("--run-dir", type=Path, required=True)
+    p.add_argument("--output-dir", type=Path, default=None)
+    p.add_argument("--num-points-per-side", type=int, default=3000)
+    p.add_argument("--rays-per-batch", type=int, default=512)
+    p.add_argument("--render-rgb", action="store_true")
+    p.add_argument("--aabb", type=float, nargs=6, default=None,
+                   help="xmin ymin zmin xmax ymax zmax (default: scene box)")
+    p.add_argument("--unscale", action="store_true",
+                   help="apply the reference's 2/scale artifact transform "
+                        "(default keeps the dataparser frame so downstream "
+                        "stages stay frame-consistent)")
+
+
+def _cmd_export(args):
+    from .export.volume import export_and_write
+    from .train.trainer import load_trainer_from_run
+
+    trainer = load_trainer_from_run(args.run_dir)
+    out_dir = args.output_dir or (Path(args.run_dir) / "exports")
+    if args.aabb is not None:
+        aabb = np.array(args.aabb, np.float32).reshape(2, 3)
+    else:
+        aabb = trainer.train_outputs.scene_box
+    scale = (trainer.train_outputs.dataparser_scale / 2.0
+             if not args.unscale else trainer.train_outputs.dataparser_scale)
+    # dataparser frame: pass scale=2 so unscale_points(×2/2)=identity
+    paths = export_and_write(
+        trainer.state.params, trainer.cfg.model, aabb, out_dir,
+        dataparser_scale=(trainer.train_outputs.dataparser_scale
+                          if args.unscale else 2.0),
+        num_points_per_side=args.num_points_per_side,
+        rays_per_batch=args.rays_per_batch,
+        render_rgb=args.render_rgb)
+    print(json.dumps({k: str(v) for k, v in paths.items()}))
+
+
+def _add_segment(sub):
+    p = sub.add_parser("segment", help="supercluster/subcluster segmentation "
+                       "(≙ segmentation/segmenter.py)")
+    p.add_argument("--pcd-dir", type=Path, required=True)
+    p.add_argument("--dataname", default="semantic.ply")
+    p.add_argument("--k", type=int, default=2, help="subclusters per supercluster")
+    p.add_argument("--vx-size", type=float, default=10e-5)
+
+
+def _cmd_segment(args):
+    from .counting.segmenter import process_for_pipeline
+    path = process_for_pipeline(args.pcd_dir, args.dataname, args.k,
+                                args.vx_size)
+    print(path)
+
+
+def _add_project(sub):
+    p = sub.add_parser("project", help="per-subcluster semantic projections "
+                       "(≙ scripts/semantic_projection.py)")
+    p.add_argument("--run-dir", type=Path, required=True)
+    p.add_argument("--pcd-dir", type=Path, required=True,
+                   help="dir with all_super_cluster_info_nsub_*.npy")
+    p.add_argument("--k", type=int, default=2)
+    p.add_argument("--output-dir", type=Path, default=None)
+    p.add_argument("--label-dir", type=Path, default=None,
+                   help="GT instance-label images (label_*.png) to copy")
+
+
+def _cmd_project(args):
+    from .projection.project import run_projections
+    from .train.trainer import load_trainer_from_run
+
+    trainer = load_trainer_from_run(args.run_dir)
+    info = np.load(Path(args.pcd_dir) / f"all_super_cluster_info_nsub_{args.k}.npy",
+                   allow_pickle=True)
+    out_dir = args.output_dir or (Path(args.run_dir) / "projection")
+    h = int(trainer.bank.height)
+    w = int(trainer.bank.width)
+    label_paths = None
+    if args.label_dir is not None:
+        label_paths = sorted(Path(args.label_dir).glob("*.png"))
+    run_projections(trainer.state.params, trainer.cfg.model,
+                    trainer.bank.cameras, h, w, info, out_dir,
+                    label_paths=label_paths)
+    print(out_dir)
+
+
+def _add_count(sub):
+    p = sub.add_parser("count", help="merge subclusters into instances and "
+                       "count (≙ segmentation/merger.py)")
+    p.add_argument("--projection-dir", type=Path, required=True)
+    p.add_argument("--pcd-dir", type=Path, required=True)
+    p.add_argument("--k", type=int, default=2)
+    p.add_argument("--graph-partition", default="clique",
+                   choices=["clique", "bridge", "community"])
+    p.add_argument("--binary-threshold", type=int, default=100)
+    p.add_argument("--frame-sampling-interval", type=int, default=10)
+    p.add_argument("--area-normalize", action="store_true")
+    p.add_argument("--output-ply", type=Path, default=None)
+
+
+def _cmd_count(args):
+    from .counting.merger import (MergerConfig, count_instances,
+                                  write_instance_cloud)
+    info = np.load(Path(args.pcd_dir) / f"all_super_cluster_info_nsub_{args.k}.npy",
+                   allow_pickle=True)
+    cfg = MergerConfig(
+        graph_partition=args.graph_partition,
+        binary_threshold=args.binary_threshold,
+        frame_sampling_interval=args.frame_sampling_interval,
+        area_normalize=args.area_normalize)
+    result = count_instances(args.projection_dir, info, cfg)
+    out_ply = args.output_ply or (Path(args.pcd_dir) / "full_tree_seg_result.ply")
+    write_instance_cloud(out_ply, info, result)
+    print(json.dumps({"total_count": result.total_count,
+                      "per_super_cluster": result.per_super_cluster}))
+
+
+def _add_process_labels(sub):
+    p = sub.add_parser("process-labels", help="instance-colour PNGs → label "
+                       "images (≙ utils/convert_segmentation_img_to_label.py)")
+    p.add_argument("--seg-dir", type=Path, required=True)
+    p.add_argument("--out-dir", type=Path, required=True)
+
+
+def _cmd_process_labels(args):
+    from .data.preprocess import convert_segmentation_dir
+    n = convert_segmentation_dir(args.seg_dir, args.out_dir)
+    print(f"converted {n} images")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="cropnerf_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+    for add in (_add_train, _add_export, _add_segment, _add_project,
+                _add_count, _add_process_labels):
+        add(sub)
+    args = parser.parse_args(argv)
+    {
+        "train": _cmd_train,
+        "export": _cmd_export,
+        "segment": _cmd_segment,
+        "project": _cmd_project,
+        "count": _cmd_count,
+        "process-labels": _cmd_process_labels,
+    }[args.command](args)
+
+
+if __name__ == "__main__":
+    main()
