@@ -61,6 +61,10 @@ def statistical_outlier_removal(points: np.ndarray, nb_neighbors: int = 20,
     exceeds global mean + std_ratio * std."""
     if len(points) <= nb_neighbors:
         return np.arange(len(points))
+    nat = _native()
+    if nat is not None:
+        return nat.statistical_outlier_removal(points, nb_neighbors,
+                                               std_ratio)
     from scipy.spatial import cKDTree
     tree = cKDTree(points)
     dists, _ = tree.query(points, k=nb_neighbors + 1)

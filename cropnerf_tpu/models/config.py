@@ -82,6 +82,11 @@ class ModelConfig:
     semantic_loss_weight: float = 1.0
     pass_semantic_gradients: bool = False
     camera_opt: CameraOptConfig = CameraOptConfig()
+    # rematerialise per-sample field evals in the backward pass: the hash
+    # gathers are recomputed instead of stored, cutting peak HBM by ~10x at
+    # large ray batches (jax.checkpoint; the TPU analogue of not caching
+    # tcnn's forward activations)
+    remat: bool = True
 
     @property
     def num_proposal_iterations(self) -> int:

@@ -72,8 +72,11 @@ def _proposal_sampling(params: Dict, rb: RayBundle, cfg: ModelConfig,
                                     spacing, train, cfg.use_single_jitter)
     weights = None
     for i in range(n_prop):
-        density = proposal_density(params[f"proposal_{i}"], samples.positions,
-                                   cfg.proposal_fields[i])
+        def prop_fn(p, x, _i=i):
+            return proposal_density(p, x, cfg.proposal_fields[_i])
+        if cfg.remat:
+            prop_fn = jax.checkpoint(prop_fn)
+        density = prop_fn(params[f"proposal_{i}"], samples.positions)
         weights = render_ops.render_weights(density, samples.deltas)
         sdist = jnp.concatenate(
             [samples.spacing_starts, samples.spacing_ends[..., -1:]], axis=-1)
@@ -105,13 +108,20 @@ def forward(params: Dict, ray_bundle: RayBundle, cfg: ModelConfig,
     samples, weights_list, sdist_list = _proposal_sampling(
         params, rb, cfg, key, train, anneal)
 
-    density, geo = field_density(params["field"], samples.positions, cfg.field)
-    weights = render_ops.render_weights(density, samples.deltas)
+    def field_eval(fparams, positions, directions, camera_idx):
+        density, geo = field_density(fparams, positions, cfg.field)
+        rgb_s = field_rgb(fparams, geo, directions, camera_idx, cfg.field,
+                          train)
+        sem_s = field_semantics(fparams, geo, cfg.field,
+                                cfg.pass_semantic_gradients)
+        return density, rgb_s, sem_s
 
-    rgb_samples = field_rgb(params["field"], geo, samples.directions,
-                            samples.camera_idx, cfg.field, train)
-    sem_samples = field_semantics(params["field"], geo, cfg.field,
-                                  cfg.pass_semantic_gradients)
+    if cfg.remat:
+        field_eval = jax.checkpoint(field_eval)
+    density, rgb_samples, sem_samples = field_eval(
+        params["field"], samples.positions, samples.directions,
+        samples.camera_idx)
+    weights = render_ops.render_weights(density, samples.deltas)
 
     sdist = jnp.concatenate(
         [samples.spacing_starts, samples.spacing_ends[..., -1:]], axis=-1)

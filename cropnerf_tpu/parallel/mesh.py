@@ -1,0 +1,50 @@
+"""Device-mesh construction and sharding helpers.
+
+TPU-native replacement for the reference's DDP/NCCL data parallelism
+(/root/reference/crop_nerf/fruit_nerf/fruit_pipeline.py:119-121: DDP model
+wrap + dist.barrier; SURVEY §2.4/§5.8).  The model is small (MBs) so the
+only scaling axis is rays: a 1-D ``data`` mesh shards every per-ray array,
+parameters stay replicated, and XLA inserts the gradient ``psum`` over ICI,
+overlapped with the backward pass by the latency-hiding scheduler.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """1-D data mesh over the given (default: all) devices."""
+    devices = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (DATA_AXIS,))
+
+
+def ray_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    """Shard the leading (ray) axis, replicate the rest."""
+    return NamedSharding(mesh, P(*((DATA_AXIS,) + (None,) * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_rays(mesh: Optional[Mesh], x):
+    """Annotate an array (or pytree of per-ray arrays) as ray-sharded."""
+    if mesh is None:
+        return x
+
+    def annotate(a):
+        return jax.lax.with_sharding_constraint(a, ray_sharding(mesh, a.ndim))
+
+    return jax.tree.map(annotate, x)
+
+
+def pad_to_multiple(n: int, devices: int) -> int:
+    """Smallest multiple of ``devices`` >= n (ray batches must divide the
+    mesh evenly for even sharding)."""
+    return ((n + devices - 1) // devices) * devices
