@@ -24,7 +24,10 @@ class HashGridConfig:
 @dataclasses.dataclass(frozen=True)
 class FieldConfig:
     """CropField = hash grid + base/semantic/color MLPs + appearance embedding
-    (fruit_field.py:44-302 defaults)."""
+    (fruit_field.py:44-302 defaults).  ``field_type="vanilla"`` selects the
+    positional-encoding MLP variant (≙ SemanticNeRFField,
+    fruit_field.py:311-411)."""
+    field_type: str = "hash"            # "hash" | "vanilla"
     grid: HashGridConfig = HashGridConfig()
     num_layers: int = 2
     hidden_dim: int = 64
@@ -167,6 +170,10 @@ PRESETS = {
         model=_huge_model(), max_num_iterations=100_000,
         train_num_rays_per_batch=16384, eval_num_rays_per_batch=4096,
         optimizer="radam"),
+    # ≙ the legacy positional-encoding SemanticNeRFField variant
+    # (fruit_field.py:311-411, FruitModelMLP stub fruit_nerf.py:705-706)
+    "semantic-nerf": TrainConfig(
+        model=ModelConfig(field=FieldConfig(field_type="vanilla"))),
     # tiny CPU-runnable preset for tests / CI (no reference analogue)
     "cropnerf-tiny": TrainConfig(
         model=ModelConfig(

@@ -31,6 +31,9 @@ from .config import FieldConfig
 
 
 def field_init(key: jax.Array, cfg: FieldConfig, num_images: int) -> Dict:
+    if cfg.field_type == "vanilla":
+        from .vanilla import vanilla_field_init
+        return vanilla_field_init(key, cfg, num_images)
     k_grid, k_base, k_sem, k_head, k_color, k_app = jax.random.split(key, 6)
     g = cfg.grid
     grid_dim = g.num_levels * g.features_per_level
@@ -61,6 +64,9 @@ def field_density(params: Dict, positions: jnp.ndarray, cfg: FieldConfig,
     Contraction (train) or AABB normalisation (export, when ``setup_inference``
     nulls the distortion, fruit_nerf.py:185-189) + zero-density selector.
     """
+    if cfg.field_type == "vanilla":
+        from .vanilla import vanilla_field_density
+        return vanilla_field_density(params, positions, cfg, aabb)
     if cfg.use_contraction:
         unit = spatial.contracted_to_unit(positions)
     else:
@@ -83,6 +89,9 @@ def field_semantics(params: Dict, geo: jnp.ndarray, cfg: FieldConfig,
     """Per-sample semantic logits [..., C] from geo features; detached from
     the density branch unless ``pass_semantic_gradients``
     (fruit_nerf.py:66, fruit_field.py:264-269)."""
+    if cfg.field_type == "vanilla":
+        from .vanilla import vanilla_field_semantics
+        return vanilla_field_semantics(params, geo, cfg, pass_gradients)
     if not pass_gradients:
         geo = jax.lax.stop_gradient(geo)
     h = mlp_apply(params["mlp_semantic"], geo)
@@ -98,6 +107,10 @@ def field_rgb(params: Dict, geo: jnp.ndarray, directions: jnp.ndarray,
     Appearance embedding: per-image row when training; mean embedding at eval
     (``use_average_appearance_embedding``) else zeros (fruit_field.py:251-261).
     """
+    if cfg.field_type == "vanilla":
+        from .vanilla import vanilla_field_rgb
+        return vanilla_field_rgb(params, geo, directions, camera_idx, cfg,
+                                 train)
     S = geo.shape[-2]
     sh = sh_encoding(directions, cfg.sh_levels)               # [R, 16]
     sh = jnp.broadcast_to(sh[..., None, :], geo.shape[:-1] + (sh.shape[-1],))

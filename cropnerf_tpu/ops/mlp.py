@@ -40,14 +40,30 @@ def mlp_init(key: jax.Array, in_dim: int, hidden_dim: int, out_dim: int,
 def mlp_apply(params: dict, x: jnp.ndarray,
               hidden_activation: Callable = jax.nn.relu,
               output_activation: Optional[Callable] = None,
-              compute_dtype: jnp.dtype = jnp.bfloat16) -> jnp.ndarray:
+              compute_dtype: jnp.dtype = jnp.bfloat16,
+              impl: str = "xla") -> jnp.ndarray:
     """Apply the MLP. Input [..., in] → [..., out] (float32 out).
 
     Matmuls run in ``compute_dtype`` with fp32 accumulation on the MXU.
+    ``impl="pallas"`` routes relu-MLPs through the fully-fused Pallas kernel
+    (ops/pallas/fused_mlp.py) — activations stay in VMEM across layers.
     """
     ws, bs = params["w"], params["b"]
-    h = x.astype(compute_dtype)
     n = len(ws)
+    if impl == "pallas" and hidden_activation is jax.nn.relu and n >= 1:
+        from .pallas.fused_mlp import fused_mlp
+        batch_shape = x.shape[:-1]
+        flat = x.reshape(-1, x.shape[-1])
+        wbs = []
+        for w, b in zip(ws, bs):
+            wbs.append(w)
+            wbs.append(b.reshape(1, -1))
+        h = fused_mlp(flat, wbs)
+        h = h.reshape(*batch_shape, h.shape[-1])
+        if output_activation is not None:
+            h = output_activation(h)
+        return h
+    h = x.astype(compute_dtype)
     for i in range(n):
         h = jnp.dot(h, ws[i].astype(compute_dtype),
                     preferred_element_type=jnp.float32)

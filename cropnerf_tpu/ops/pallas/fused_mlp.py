@@ -66,8 +66,12 @@ def _bwd_kernel(x_ref, *refs):
     g = g_ref[:].astype(jnp.float32)
     for i in reversed(range(n_layers)):
         a_in = acts[i]                          # [TILE, d_in] bf16
-        dw = jnp.dot(a_in.T, g.astype(jnp.bfloat16),
-                     preferred_element_type=jnp.float32)
+        # dw[d_in, d_out] = sum_n a[n, d_in] g[n, d_out]  (contract batch dim
+        # via dot_general — Mosaic rejects explicit .T on MXU operands)
+        dw = jax.lax.dot_general(
+            a_in, g.astype(jnp.bfloat16),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         db = jnp.sum(g, axis=0, keepdims=True)
 
         @pl.when(first)
@@ -80,10 +84,15 @@ def _bwd_kernel(x_ref, *refs):
             dwbs[2 * i][:] = dwbs[2 * i][:] + dw
             dwbs[2 * i + 1][:] = dwbs[2 * i + 1][:] + db
 
-        g = jnp.dot(g.astype(jnp.bfloat16), wbs[2 * i][:].astype(jnp.bfloat16).T,
-                    preferred_element_type=jnp.float32)
+        # g_in[n, d_in] = sum_dout g[n, d_out] W[d_in, d_out]
+        g = jax.lax.dot_general(
+            g.astype(jnp.bfloat16), wbs[2 * i][:].astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
         if i > 0:
-            g = g * (acts[i] > 0)               # relu mask
+            # relu mask — compare in f32: Mosaic can't combine a bf16
+            # predicate (16 elts/lane-row) with an f32 select (8 elts)
+            g = jnp.where(acts[i].astype(jnp.float32) > 0.0, g, 0.0)
     dx_ref[:] = g
 
 

@@ -1,0 +1,93 @@
+"""Trainer integration: dataset dir → train → checkpoint → reload
+(≙ nerfstudio Trainer + eval_setup bootstrap, SURVEY §5.4)."""
+import dataclasses
+import json
+
+import jax
+import numpy as np
+import pytest
+from PIL import Image
+
+from cropnerf_tpu.data.dataparser import DataparserConfig, parse_transforms
+from cropnerf_tpu.data.dataset import load_split
+from cropnerf_tpu.models.config import PRESETS
+from cropnerf_tpu.train.trainer import Trainer, load_trainer_from_run
+
+from synthetic import render_synthetic_images, ring_cameras
+
+
+def write_synthetic_dataset(root, n=6, size=32):
+    """transforms.json + images/ + semantics/ in the 3DCotton layout."""
+    root.mkdir(parents=True, exist_ok=True)
+    (root / "images").mkdir(exist_ok=True)
+    (root / "semantics").mkdir(exist_ok=True)
+    cams = ring_cameras(n=n, height=size, width=size, focal=40.0)
+    images, masks = render_synthetic_images(cams, size, size)
+    frames = []
+    c2w = np.asarray(cams.c2w)
+    for i in range(n):
+        name = f"frame_{i:04d}.png"
+        Image.fromarray(images[i]).save(root / "images" / name)
+        Image.fromarray(masks[i] * 255).save(root / "semantics" / name)
+        mat = np.eye(4)
+        mat[:3, :4] = c2w[i]
+        frames.append({
+            "file_path": f"images/{name}",
+            "transform_matrix": mat.tolist(),
+        })
+    meta = {
+        "fl_x": 40.0, "fl_y": 40.0, "cx": size / 2, "cy": size / 2,
+        "w": size, "h": size, "frames": frames,
+    }
+    (root / "transforms.json").write_text(json.dumps(meta))
+    return root
+
+
+class TestDataparser:
+    def test_parse_and_load(self, tmp_path):
+        root = write_synthetic_dataset(tmp_path / "ds")
+        cfg = DataparserConfig(data_dir=root, train_split_fraction=0.8)
+        out = parse_transforms(cfg, "train")
+        assert len(out.image_paths) == 5          # ceil(6*0.8)
+        assert out.c2w.shape == (5, 3, 4)
+        # auto-scale puts all camera origins inside the unit box
+        assert np.abs(out.c2w[:, :, 3]).max() <= 1.0 + 1e-5
+        images, masks = load_split(out)
+        assert images.shape == (5, 32, 32, 3)
+        assert masks.shape == (5, 32, 32)
+        assert set(np.unique(masks)) <= {0, 1}
+
+    def test_eval_split_disjoint(self, tmp_path):
+        root = write_synthetic_dataset(tmp_path / "ds")
+        cfg = DataparserConfig(data_dir=root, train_split_fraction=0.8)
+        train = parse_transforms(cfg, "train")
+        ev = parse_transforms(cfg, "eval")
+        assert set(p.name for p in train.image_paths).isdisjoint(
+            p.name for p in ev.image_paths)
+
+
+class TestTrainerLoop:
+    def test_train_eval_checkpoint_reload(self, tmp_path):
+        root = write_synthetic_dataset(tmp_path / "ds")
+        cfg = dataclasses.replace(PRESETS["cropnerf-tiny"],
+                                  train_num_rays_per_batch=128,
+                                  steps_per_eval_image=10_000,
+                                  steps_per_save=10_000)
+        data_cfg = DataparserConfig(data_dir=root, train_split_fraction=0.8)
+        run_dir = tmp_path / "run"
+        trainer = Trainer(cfg, data_cfg, run_dir)
+        metrics = trainer.train(num_steps=30, log_every=30)
+        assert np.isfinite(metrics["loss"])
+        assert (run_dir / "run_config.json").exists()
+        assert (run_dir / "dataparser_transforms.json").exists()
+
+        em = trainer.eval_image(0)
+        assert np.isfinite(em["eval_psnr"])
+
+        # reload from disk and compare params
+        trainer2 = load_trainer_from_run(run_dir)
+        assert int(trainer2.state.step) == int(trainer.state.step)
+        leaves1 = jax.tree.leaves(trainer.state.params)
+        leaves2 = jax.tree.leaves(trainer2.state.params)
+        for a, b in zip(leaves1, leaves2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
