@@ -176,6 +176,82 @@ def _cmd_count(args):
                       "per_super_cluster": result.per_super_cluster}))
 
 
+def _add_render(sub):
+    p = sub.add_parser("render", help="render an orbit video / eval images "
+                       "(≙ debug/render.py + evaluation/generate_video.py)")
+    p.add_argument("--run-dir", type=Path, required=True)
+    p.add_argument("--output", type=Path, default=None)
+    p.add_argument("--n-frames", type=int, default=60)
+    p.add_argument("--radius", type=float, default=1.2)
+    p.add_argument("--size", type=int, default=400)
+    p.add_argument("--channel", default="rgb",
+                   choices=["rgb", "semantics_colormap", "depth",
+                            "accumulation"])
+    p.add_argument("--eval-metrics", action="store_true",
+                   help="also print averaged eval-image metrics")
+
+
+def _cmd_render(args):
+    from .evaluation.render_video import render_orbit_video
+    from .train.trainer import load_trainer_from_run
+    import json as _json
+
+    trainer = load_trainer_from_run(args.run_dir)
+    out = args.output or (Path(args.run_dir) / "orbit.mp4")
+    path = render_orbit_video(trainer.state.params, trainer.cfg, out,
+                              n_frames=args.n_frames, radius=args.radius,
+                              size=args.size, channel=args.channel)
+    print(path)
+    if args.eval_metrics:
+        print(_json.dumps(trainer.eval_all_images(), default=float))
+
+
+def _add_uncertainty(sub):
+    p = sub.add_parser("uncertainty", help="BayesRays hessian computation "
+                       "(≙ bayesrays/uncertainty.py)")
+    p.add_argument("--run-dir", type=Path, required=True)
+    p.add_argument("--lod", type=int, default=8)
+    p.add_argument("--iters", type=int, default=1000)
+    p.add_argument("--rays-per-batch", type=int, default=4096)
+    p.add_argument("--channel", default="semantics",
+                   choices=["semantics", "rgb"])
+    p.add_argument("--output", type=Path, default=None)
+
+
+def _cmd_uncertainty(args):
+    import jax
+    import jax.numpy as jnp
+    from .core.cameras import generate_rays, near_far_collider
+    from .core.rays import RayBundle
+    from .data.databank import decode_pixel_index
+    from .train.trainer import load_trainer_from_run
+    from .uncertainty.bayesrays import ComputeUncertainty
+
+    trainer = load_trainer_from_run(args.run_dir)
+    bank = trainer.bank
+    m = trainer.cfg.model
+
+    def batches():
+        key = jax.random.PRNGKey(0)
+        for _ in range(args.iters):
+            key, sub_ = jax.random.split(key)
+            idx = jax.random.randint(sub_, (args.rays_per_batch,), 0,
+                                     bank.num_pixels)
+            cam, px, py = decode_pixel_index(idx, bank.height, bank.width)
+            origins, dirs = generate_rays(bank.cameras, cam, px, py)
+            rb = RayBundle(origins=origins, directions=dirs,
+                           nears=jnp.zeros_like(origins[:, 0]),
+                           fars=jnp.ones_like(origins[:, 0]),
+                           camera_idx=cam)
+            yield near_far_collider(rb, m.near_plane, m.far_plane)
+
+    comp = ComputeUncertainty(trainer.state.params, m, lod=args.lod,
+                              channel=args.channel)
+    out = args.output or (Path(args.run_dir) / "unc.npy")
+    comp.run(batches(), save_path=out)
+    print(out)
+
+
 def _add_process_labels(sub):
     p = sub.add_parser("process-labels", help="instance-colour PNGs → label "
                        "images (≙ utils/convert_segmentation_img_to_label.py)")
@@ -193,7 +269,8 @@ def main(argv=None):
     parser = argparse.ArgumentParser(prog="cropnerf_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
     for add in (_add_train, _add_export, _add_segment, _add_project,
-                _add_count, _add_process_labels):
+                _add_count, _add_render, _add_uncertainty,
+                _add_process_labels):
         add(sub)
     args = parser.parse_args(argv)
     {
@@ -202,6 +279,8 @@ def main(argv=None):
         "segment": _cmd_segment,
         "project": _cmd_project,
         "count": _cmd_count,
+        "render": _cmd_render,
+        "uncertainty": _cmd_uncertainty,
         "process-labels": _cmd_process_labels,
     }[args.command](args)
 

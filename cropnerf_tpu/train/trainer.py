@@ -131,6 +131,17 @@ class Trainer:
         }
         return m
 
+    def eval_all_images(self) -> Dict[str, float]:
+        """Average metrics over every eval image (≙ VanillaPipeline
+        ``get_average_eval_image_metrics``, fruit_pipeline.py:178-229)."""
+        n = len(self.eval_images)
+        acc: Dict[str, float] = {}
+        for i in range(n):
+            m = self.eval_image(i)
+            for k, v in m.items():
+                acc[k] = acc.get(k, 0.0) + v
+        return {k: v / n for k, v in acc.items()}
+
     # -- main loop (≙ Trainer.train, SURVEY §3.1) --
 
     def train(self, num_steps: Optional[int] = None,
