@@ -21,6 +21,8 @@ BASELINE_RAYS_PER_S = 100_000.0
 
 
 def main() -> None:
+    from cropnerf_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
     from cropnerf_tpu.core.cameras import Cameras

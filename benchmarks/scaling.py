@@ -1,0 +1,100 @@
+"""Scaling-efficiency sweep: rays/s vs device count on a 1-D data mesh.
+
+Measures the sharded train step at 1..N devices (BASELINE.md north-star:
+>=80% rays/s scaling efficiency at 1→4→16 chips).  On a single-chip host it
+runs on a virtual CPU mesh (functional validation + mesh overheads); on a
+pod slice it measures real ICI scaling.
+
+Usage:
+    python benchmarks/scaling.py [--devices 1 2 4 8] [--rays-per-device 8192]
+    python benchmarks/scaling.py --cpu   # force the 8-device virtual mesh
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--devices", type=int, nargs="*", default=None)
+    parser.add_argument("--rays-per-device", type=int, default=8192)
+    parser.add_argument("--iters", type=int, default=30)
+    parser.add_argument("--preset", default="cropnerf")
+    args = parser.parse_args()
+
+    if args.cpu:
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + " --xla_force_host_platform_device_count=8")
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from cropnerf_tpu.core.cameras import Cameras
+    from cropnerf_tpu.data.databank import build_pixel_bank
+    from cropnerf_tpu.models.config import PRESETS
+    from cropnerf_tpu.train.state import create_train_state
+    from cropnerf_tpu.train.step import make_train_step
+
+    n_avail = len(jax.devices())
+    counts = args.devices or [c for c in (1, 2, 4, 8, 16) if c <= n_avail]
+
+    n_img, h, w = 8, 256, 256
+    rng = np.random.RandomState(0)
+    images = rng.randint(0, 255, (n_img, h, w, 3), dtype=np.uint8)
+    masks = (rng.rand(n_img, h, w) > 0.9).astype(np.uint8)
+    c2w = np.tile(np.eye(3, 4, dtype=np.float32)[None], (n_img, 1, 1))
+    c2w[:, 2, 3] = 1.5
+    cams = Cameras(
+        c2w=jnp.asarray(c2w),
+        fx=jnp.full((n_img,), 200.0), fy=jnp.full((n_img,), 200.0),
+        cx=jnp.full((n_img,), w / 2.0), cy=jnp.full((n_img,), h / 2.0),
+        width=jnp.full((n_img,), w, jnp.int32),
+        height=jnp.full((n_img,), h, jnp.int32))
+    bank = build_pixel_bank(images, masks, cams)
+
+    results = []
+    base_rate = None
+    for n_dev in counts:
+        cfg = dataclasses.replace(
+            PRESETS[args.preset],
+            train_num_rays_per_batch=args.rays_per_device * n_dev)
+        mesh = jax.sharding.Mesh(np.array(jax.devices()[:n_dev]), ("data",))
+        state = create_train_state(jax.random.PRNGKey(0), cfg,
+                                   num_images=n_img)
+        step = make_train_step(cfg, mesh=mesh, donate=False)
+        key = jax.random.PRNGKey(1)
+        for _ in range(3):
+            key, sub = jax.random.split(key)
+            state, m = step(state, bank, sub)
+        jax.block_until_ready(m["loss"])
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            key, sub = jax.random.split(key)
+            state, m = step(state, bank, sub)
+        jax.block_until_ready(m["loss"])
+        dt = time.perf_counter() - t0
+        rate = args.iters * cfg.train_num_rays_per_batch / dt
+        if base_rate is None:
+            base_rate = rate
+        eff = rate / (base_rate * n_dev)
+        results.append({"devices": n_dev, "rays_per_s": round(rate, 1),
+                        "scaling_efficiency": round(eff, 3)})
+        print(json.dumps(results[-1]), flush=True)
+
+    print(json.dumps({"sweep": results}))
+
+
+if __name__ == "__main__":
+    main()

@@ -75,12 +75,14 @@ class ClusterProjector:
     """Jit-cached projector over bucketed crop shapes."""
 
     def __init__(self, params, model_cfg: ModelConfig, cameras: Cameras,
-                 height: int, width: int):
+                 height: int, width: int,
+                 occlusion_threshold: float = OCCLUSION_THRESHOLD):
         self.params = params
         self.cfg = model_cfg
         self.cameras = cameras
         self.height = height
         self.width = width
+        self.occlusion_threshold = occlusion_threshold
         self._fns = {}
 
     def _get_fn(self, n: int):
@@ -88,6 +90,7 @@ class ClusterProjector:
         if n in self._fns:
             return self._fns[n]
         cfg = self.cfg
+        occ_thresh = self.occlusion_threshold
 
         @jax.jit
         def run(params, cameras, cam_idx, px, py, aabb):
@@ -102,7 +105,7 @@ class ClusterProjector:
             rb_vis = rb.replace(nears=jnp.zeros_like(nears),
                                 fars=jnp.maximum(nears, 1e-4))
             acc = forward_accumulation(params, rb_vis, cfg)
-            occluded = (acc >= OCCLUSION_THRESHOLD) & (hit > 0)
+            occluded = (acc >= occ_thresh) & (hit > 0)
             return semantics, occluded, hit
 
         self._fns[n] = run
@@ -153,14 +156,16 @@ def run_projections(params, model_cfg: ModelConfig, cameras: Cameras,
                     super_cluster_info: np.ndarray,
                     output_dir: Path,
                     label_paths: Optional[list] = None,
-                    camera_indices: Optional[list] = None) -> Path:
+                    camera_indices: Optional[list] = None,
+                    occlusion_threshold: float = OCCLUSION_THRESHOLD) -> Path:
     """Write the full projection tree
     ``super_cluster_{s}/cam_{c}/{wo_occ,visible}_cluster_{i}.png``
     (+ copied GT label images) consumed by the merger."""
     output_dir = Path(output_dir)
     n_cams = cameras.num_cameras
     cam_ids = camera_indices if camera_indices is not None else range(n_cams)
-    projector = ClusterProjector(params, model_cfg, cameras, height, width)
+    projector = ClusterProjector(params, model_cfg, cameras, height,
+                                 width, occlusion_threshold)
 
     for s, info in enumerate(super_cluster_info):
         aabbs = info["aabb"]

@@ -51,6 +51,8 @@ class Trainer:
     def __init__(self, cfg: TrainConfig, data_config: DataparserConfig,
                  output_dir: Path, mesh: Optional[jax.sharding.Mesh] = None,
                  experiment_name: str = "cropnerf"):
+        from ..utils.cache import enable_compilation_cache
+        enable_compilation_cache()
         self.cfg = cfg
         self.data_config = data_config
         self.output_dir = Path(output_dir)

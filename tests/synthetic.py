@@ -10,12 +10,16 @@ from cropnerf_tpu.core.cameras import Cameras
 
 
 def ring_cameras(n: int = 8, radius: float = 1.2, height: float = 64,
-                 width: float = 64, focal: float = 80.0) -> Cameras:
-    """n cameras on a circle looking at the origin (OpenGL convention)."""
+                 width: float = 64, focal: float = 80.0,
+                 elevations=(0.3,)) -> Cameras:
+    """n cameras on a circle looking at the origin (OpenGL convention).
+    ``elevations`` are cycled per camera (multiple rings disambiguate
+    density floaters between objects)."""
     c2ws = []
     for i in range(n):
         theta = 2 * np.pi * i / n
-        eye = np.array([radius * np.cos(theta), radius * np.sin(theta), 0.3])
+        z = elevations[i % len(elevations)]
+        eye = np.array([radius * np.cos(theta), radius * np.sin(theta), z])
         forward = -eye / np.linalg.norm(eye)          # look at origin
         up = np.array([0.0, 0.0, 1.0])
         right = np.cross(forward, up)
@@ -33,6 +37,54 @@ def ring_cameras(n: int = 8, radius: float = 1.2, height: float = 64,
         cy=jnp.full((n,), height / 2, jnp.float32),
         width=jnp.full((n,), width, jnp.int32),
         height=jnp.full((n,), height, jnp.int32))
+
+
+def render_multi_sphere_images(cameras: Cameras, height: int, width: int,
+                               centers, radius: float = 0.18):
+    """Ray-trace several matte spheres ('crops') on white background.
+
+    Returns (images [N,H,W,3] u8, masks [N,H,W] u8 binary,
+    labels [N,H,W] u8 instance ids 1..K with z-ordering).
+    """
+    c2w = np.asarray(cameras.c2w)
+    fx = np.asarray(cameras.fx)
+    n = c2w.shape[0]
+    centers = np.asarray(centers, np.float64)
+    images = np.zeros((n, height, width, 3), np.uint8)
+    masks = np.zeros((n, height, width), np.uint8)
+    labels = np.zeros((n, height, width), np.uint8)
+    ys, xs = np.meshgrid(np.arange(height), np.arange(width), indexing="ij")
+    tints = [(1.0, 0.15, 0.1), (0.9, 0.5, 0.1), (0.8, 0.1, 0.6),
+             (0.2, 0.8, 0.3)]
+    for i in range(n):
+        x = (xs + 0.5 - width / 2) / fx[i]
+        y = (ys + 0.5 - height / 2) / fx[i]
+        dirs_cam = np.stack([x, -y, -np.ones_like(x)], -1)
+        dirs = dirs_cam @ c2w[i, :, :3].T
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        o = c2w[i, :, 3]
+        img = np.ones((height, width, 3), np.float32)
+        zbuf = np.full((height, width), np.inf)
+        light = np.array([0.5, 0.5, 1.0])
+        light = light / np.linalg.norm(light)
+        for k, ctr in enumerate(centers):
+            oc = o - ctr
+            b = np.sum(dirs * oc, -1)
+            c = np.sum(oc * oc) - radius ** 2
+            disc = b * b - c
+            hit = disc > 0
+            t = -b - np.sqrt(np.maximum(disc, 0))
+            hit &= (t > 0) & (t < zbuf)
+            p = o + t[..., None] * dirs
+            normal = (p - ctr) / radius
+            lam = np.clip(np.sum(normal * light, -1), 0.2, 1.0)
+            tint = np.asarray(tints[k % len(tints)])
+            img[hit] = lam[hit][:, None] * tint[None, :]
+            zbuf[hit] = t[hit]
+            masks[i][hit] = 1
+            labels[i][hit] = k + 1
+        images[i] = (img * 255).astype(np.uint8)
+    return images, masks, labels
 
 
 def render_synthetic_images(cameras: Cameras, height: int, width: int,

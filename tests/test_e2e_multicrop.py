@@ -1,0 +1,102 @@
+"""End-to-end counting with TWO crops of known ground truth: train on a
+two-sphere scene, export, segment (expect the two largest superclusters on
+either side), project, count (expect exactly 2 instances)."""
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+from PIL import Image
+
+from cropnerf_tpu.counting.merger import MergerConfig, count_instances
+from cropnerf_tpu.counting.segmenter import build_super_cluster_info
+from cropnerf_tpu.data.databank import build_pixel_bank
+from cropnerf_tpu.export.volume import sample_volume
+from cropnerf_tpu.models.config import (FieldConfig, HashGridConfig,
+                                        ModelConfig, PRESETS,
+                                        ProposalFieldConfig)
+from cropnerf_tpu.projection.project import run_projections
+from cropnerf_tpu.train.state import create_train_state
+from cropnerf_tpu.train.step import make_train_step
+
+from synthetic import render_multi_sphere_images, ring_cameras
+
+CENTERS = [(-0.42, 0.0, 0.0), (0.42, 0.0, 0.0)]
+
+# tiny-plus: enough hash resolution to localise two small spheres, still
+# CPU-feasible (512 rays x 80 samples/step)
+MODEL = ModelConfig(
+    field=FieldConfig(grid=HashGridConfig(num_levels=8, log2_hashmap_size=15,
+                                          max_res=256),
+                      hidden_dim=32, hidden_dim_color=16,
+                      hidden_dim_semantics=16, geo_feat_dim=7,
+                      appearance_embedding_dim=4),
+    proposal_fields=(
+        ProposalFieldConfig(grid=HashGridConfig(num_levels=4,
+                                                log2_hashmap_size=12,
+                                                max_res=64), hidden_dim=8),),
+    num_nerf_samples_per_ray=32,
+    num_proposal_samples_per_ray=(48,),
+    proposal_weights_anneal_max_num_iters=100)
+
+
+@pytest.fixture(scope="module")
+def trained2():
+    cfg = dataclasses.replace(PRESETS["cropnerf-tiny"], model=MODEL,
+                              train_num_rays_per_batch=512)
+    # three camera elevations disambiguate floaters between the spheres
+    cams = ring_cameras(n=12, height=56, width=56, focal=70.0,
+                        elevations=(0.1, 0.7, -0.5))
+    images, masks, labels = render_multi_sphere_images(cams, 56, 56, CENTERS,
+                                                       radius=0.15)
+    bank = build_pixel_bank(images, masks, cams)
+    state = create_train_state(jax.random.PRNGKey(0), cfg,
+                               num_images=bank.num_images)
+    step = make_train_step(cfg, donate=False)
+    key = jax.random.PRNGKey(1)
+    for _ in range(600):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, bank, sub)
+    return cfg, cams, labels, bank, state, metrics
+
+
+class TestTwoCropPipeline:
+    def test_counts_two(self, trained2, tmp_path_factory):
+        cfg, cams, labels, bank, state, metrics = trained2
+        assert float(metrics["psnr"]) > 14.0, float(metrics["psnr"])
+        tmp = tmp_path_factory.mktemp("two_crop")
+
+        aabb = np.array([[-0.7, -0.5, -0.5], [0.7, 0.5, 0.5]], np.float32)
+        clouds = sample_volume(state.params, cfg.model, aabb,
+                               num_points_per_side=28, rays_per_batch=128,
+                               num_samples=28,
+                               semantic_threshold=3.0,
+                               density_threshold=30.0,
+                               colormap_threshold=0.95)
+        pts = clouds["semantic"].points
+        assert len(pts) > 100, len(pts)
+
+        info = build_super_cluster_info(pts, k=2, vx_size=0.01)
+        assert len(info) >= 2
+        info = np.array(info[:2], dtype=object)   # two largest (size-sorted)
+        cx = sorted(float(np.mean(np.concatenate(
+            [p for p in sc["pcd"].values()]), axis=0)[0]) for sc in info)
+        assert cx[0] < 0 < cx[1], cx
+
+        label_dir = tmp / "labels"
+        label_dir.mkdir()
+        label_paths = []
+        for i, lab in enumerate(labels):
+            p = label_dir / f"frame_{i:04d}.png"
+            Image.fromarray(lab).save(p)
+            label_paths.append(p)
+        proj_dir = tmp / "projection"
+        # loose occlusion threshold: the tiny model keeps residual fog
+        # density that would otherwise mark everything occluded
+        run_projections(state.params, cfg.model, cams, 56, 56, info,
+                        proj_dir, label_paths=label_paths,
+                        occlusion_threshold=0.8)
+
+        mcfg = MergerConfig(frame_sampling_interval=1, binary_threshold=100)
+        result = count_instances(proj_dir, info, mcfg)
+        assert result.total_count == 2, result
