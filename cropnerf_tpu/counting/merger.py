@@ -45,6 +45,12 @@ class MergerConfig:
     frame_sampling_interval: int = 10
     n_thread: int = 10
     max_super_clusters: int = 17
+    # Improvement over the reference (off by default for parity): a
+    # subcluster that gathered NO label evidence from any camera (e.g. a
+    # fully-occluded core) cannot testify to being its own instance; attach
+    # it to the spatially nearest evidenced subcluster instead of counting
+    # it as a singleton.
+    attach_unlabeled: bool = False
 
 
 def wo_occlusion_area(path: Path, thres: int
@@ -158,6 +164,36 @@ def calc_affinity(props: Dict[int, Dict[str, np.ndarray]]) -> np.ndarray:
     return affinity
 
 
+def _attach_unlabeled(props: Dict[int, Dict[str, np.ndarray]],
+                      affinity: np.ndarray, labels: np.ndarray, info: dict
+                      ) -> Tuple[int, np.ndarray]:
+    """Reassign evidence-free subclusters — no camera evidence at all, or
+    no affinity (positive or negative) with any other subcluster — to the
+    component of the nearest evidenced subcluster; relabel components
+    densely and return the corrected (count, labels)."""
+    if affinity.shape[0] <= 1:
+        return len(set(labels.tolist())), labels
+    evidence = {cid: int((p["label"] != 0).sum()) for cid, p in props.items()}
+    strongest = max(evidence, key=evidence.get)
+    # anchors: nodes with actual (dis)agreement evidence, plus the node the
+    # cameras saw best — everything else with a zero affinity row attaches
+    anchors = {cid for cid in props if np.any(affinity[cid] != 0)}
+    anchors.add(strongest)
+    floaters = [cid for cid in props if cid not in anchors]
+    if not floaters:
+        return len(set(labels.tolist())), labels
+    centroids = {cid: np.mean(info["pcd"][cid], axis=0)
+                 for cid in info["pcd"]}
+    labels = labels.copy()
+    for cid in floaters:
+        nearest = min(anchors, key=lambda e: float(
+            np.linalg.norm(centroids[cid] - centroids[e])))
+        labels[cid] = labels[nearest]
+    uniq = {l: i + 1 for i, l in enumerate(sorted(set(labels.tolist())))}
+    labels = np.array([uniq[l] for l in labels.tolist()], dtype=labels.dtype)
+    return len(uniq), labels
+
+
 @dataclasses.dataclass
 class CountResult:
     total_count: int
@@ -180,6 +216,9 @@ def count_instances(projection_dir: Path, super_cluster_info: np.ndarray,
         props = process_super_cluster(sc_dir, n_sub, cfg)
         affinity = calc_affinity(props)
         n_comp, labels = partition(affinity, cfg.graph_partition)
+        if cfg.attach_unlabeled:
+            n_comp, labels = _attach_unlabeled(
+                props, affinity, labels, super_cluster_info[idx])
         return n_comp, labels, affinity
 
     with ThreadPoolExecutor(max_workers=cfg.n_thread) as pool:

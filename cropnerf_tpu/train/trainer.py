@@ -113,8 +113,11 @@ class Trainer:
         target = {"params": jax.device_get(self.state.params),
                   "step": jax.device_get(self.state.step)}
         restored = ckptr.restore(Path(path).absolute(), target)
-        self.state = self.state.replace(params=restored["params"],
-                                        step=restored["step"])
+        # orbax returns host numpy arrays; put them back on device so jitted
+        # consumers can index them with traced values
+        params = jax.tree.map(jnp.asarray, restored["params"])
+        self.state = self.state.replace(params=params,
+                                        step=jnp.asarray(restored["step"]))
 
     # -- eval (≙ get_eval_image_metrics_and_images, fruit_nerf.py:647-702) --
 

@@ -191,3 +191,36 @@ class TestPly:
         write_ply(p, pts, cols, alpha)
         pts2, cols2 = read_ply(p)
         np.testing.assert_allclose(pts, pts2, rtol=1e-6)
+
+
+class TestAttachUnlabeled:
+    def test_unlabeled_subcluster_attaches_to_nearest(self, tmp_path):
+        """A subcluster with zero camera evidence should not count as its
+        own instance when attach_unlabeled=True."""
+        import cv2
+        from cropnerf_tpu.counting.merger import count_instances
+        root = tmp_path / "super_cluster_0"
+        H = W = 100
+        for c in range(2):
+            cam_dir = root / f"cam_{c}"
+            cam_dir.mkdir(parents=True)
+            label_img = np.zeros((H, W), np.uint8)
+            # sub 0: bright, labelled instance 1
+            img0 = np.zeros((H, W), np.uint8)
+            cv2.circle(img0, (30, 50), 12, 255, -1)
+            cv2.imwrite(str(cam_dir / "wo_occ_cluster_0.png"), img0)
+            cv2.imwrite(str(cam_dir / "visible_cluster_0.png"), img0)
+            cv2.circle(label_img, (30, 50), 14, 1, -1)
+            # sub 1: completely dark (occluded core)
+            dark = np.zeros((H, W), np.uint8)
+            cv2.imwrite(str(cam_dir / "wo_occ_cluster_1.png"), dark)
+            cv2.imwrite(str(cam_dir / "visible_cluster_1.png"), dark)
+            cv2.imwrite(str(cam_dir / "label_frame_0000.png"), label_img)
+        info = np.array([{
+            "aabb": np.zeros((2, 2, 3)),
+            "pcd": {0: np.zeros((4, 3)), 1: np.ones((4, 3)) * 0.01},
+        }], dtype=object)
+        cfg = MergerConfig(frame_sampling_interval=1)
+        assert count_instances(tmp_path, info, cfg).total_count == 2
+        cfg2 = MergerConfig(frame_sampling_interval=1, attach_unlabeled=True)
+        assert count_instances(tmp_path, info, cfg2).total_count == 1

@@ -45,16 +45,16 @@ def trained2():
     cfg = dataclasses.replace(PRESETS["cropnerf-tiny"], model=MODEL,
                               train_num_rays_per_batch=512)
     # three camera elevations disambiguate floaters between the spheres
-    cams = ring_cameras(n=12, height=56, width=56, focal=70.0,
+    cams = ring_cameras(n=12, height=88, width=88, focal=110.0,
                         elevations=(0.1, 0.7, -0.5))
-    images, masks, labels = render_multi_sphere_images(cams, 56, 56, CENTERS,
+    images, masks, labels = render_multi_sphere_images(cams, 88, 88, CENTERS,
                                                        radius=0.15)
     bank = build_pixel_bank(images, masks, cams)
     state = create_train_state(jax.random.PRNGKey(0), cfg,
                                num_images=bank.num_images)
     step = make_train_step(cfg, donate=False)
     key = jax.random.PRNGKey(1)
-    for _ in range(600):
+    for _ in range(900):
         key, sub = jax.random.split(key)
         state, metrics = step(state, bank, sub)
     return cfg, cams, labels, bank, state, metrics
@@ -72,11 +72,11 @@ class TestTwoCropPipeline:
                                num_samples=28,
                                semantic_threshold=3.0,
                                density_threshold=30.0,
-                               colormap_threshold=0.95)
+                               colormap_threshold=0.98)
         pts = clouds["semantic"].points
         assert len(pts) > 100, len(pts)
 
-        info = build_super_cluster_info(pts, k=2, vx_size=0.01)
+        info = build_super_cluster_info(pts, k=2, vx_size=0.008)
         assert len(info) >= 2
         info = np.array(info[:2], dtype=object)   # two largest (size-sorted)
         cx = sorted(float(np.mean(np.concatenate(
@@ -93,10 +93,11 @@ class TestTwoCropPipeline:
         proj_dir = tmp / "projection"
         # loose occlusion threshold: the tiny model keeps residual fog
         # density that would otherwise mark everything occluded
-        run_projections(state.params, cfg.model, cams, 56, 56, info,
+        run_projections(state.params, cfg.model, cams, 88, 88, info,
                         proj_dir, label_paths=label_paths,
-                        occlusion_threshold=0.8)
+                        occlusion_threshold=0.9)
 
-        mcfg = MergerConfig(frame_sampling_interval=1, binary_threshold=100)
+        mcfg = MergerConfig(frame_sampling_interval=1, binary_threshold=50,
+                            attach_unlabeled=True)
         result = count_instances(proj_dir, info, mcfg)
         assert result.total_count == 2, result
