@@ -76,6 +76,8 @@ class Trainer:
 
         self.ckpt_dir = self.output_dir / "checkpoints"
         self.output_dir.mkdir(parents=True, exist_ok=True)
+        from ..utils.writer import MetricsWriter
+        self.writer = MetricsWriter(self.output_dir / "logs")
         self._write_run_metadata()
 
     # -- checkpointing (≙ nerfstudio config.yml + step-*.ckpt, SURVEY §5.4) --
@@ -167,11 +169,14 @@ class Trainer:
                 m["rays_per_s"] = rays_done / max(dt, 1e-9)
                 m["step"] = step
                 last_metrics = m
+                self.writer.write(step, m)
                 print(f"[step {step}] loss={m['loss']:.4f} "
                       f"psnr={m['psnr']:.2f} rays/s={m['rays_per_s']:.0f}",
                       flush=True)
             if step % cfg.steps_per_eval_image == 0 and step > 0:
-                last_metrics.update(self.eval_image(0))
+                em = self.eval_image(0)
+                last_metrics.update(em)
+                self.writer.write(step, em, prefix="eval")
                 print(f"[step {step}] eval "
                       f"psnr={last_metrics['eval_psnr']:.2f} "
                       f"iou={last_metrics['eval_iou']:.3f}", flush=True)
