@@ -105,20 +105,33 @@ class Trainer:
         step = int(self.state.step)
         path = (self.ckpt_dir / f"step-{step:09d}").absolute()
         ckptr = ocp.StandardCheckpointer()
+        # full train state: params + optimizer moments + step (the reference
+        # checkpoints optimizers too, SURVEY §5.4)
         ckptr.save(path, jax.device_get(
-            {"params": self.state.params, "step": self.state.step}))
+            {"params": self.state.params,
+             "opt_state": self.state.opt_state,
+             "step": self.state.step}))
         ckptr.wait_until_finished()
 
     def load_checkpoint(self, path: Path) -> None:
         import orbax.checkpoint as ocp
         ckptr = ocp.StandardCheckpointer()
         target = {"params": jax.device_get(self.state.params),
+                  "opt_state": jax.device_get(self.state.opt_state),
                   "step": jax.device_get(self.state.step)}
-        restored = ckptr.restore(Path(path).absolute(), target)
+        try:
+            restored = ckptr.restore(Path(path).absolute(), target)
+            opt_state = jax.tree.map(jnp.asarray, restored["opt_state"])
+        except Exception:
+            # older checkpoints without optimizer state: params-only resume
+            restored = ckptr.restore(
+                Path(path).absolute(),
+                {"params": target["params"], "step": target["step"]})
+            opt_state = self.state.opt_state
         # orbax returns host numpy arrays; put them back on device so jitted
         # consumers can index them with traced values
         params = jax.tree.map(jnp.asarray, restored["params"])
-        self.state = self.state.replace(params=params,
+        self.state = self.state.replace(params=params, opt_state=opt_state,
                                         step=jnp.asarray(restored["step"]))
 
     # -- eval (≙ get_eval_image_metrics_and_images, fruit_nerf.py:647-702) --
