@@ -252,6 +252,24 @@ def _cmd_uncertainty(args):
     print(out)
 
 
+def _add_viewer(sub):
+    p = sub.add_parser("viewer", help="interactive web viewer "
+                       "(≙ debug/viewer.py, headless-friendly)")
+    p.add_argument("--run-dir", type=Path, required=True)
+    p.add_argument("--port", type=int, default=7007)
+    p.add_argument("--size", type=int, default=256)
+
+
+def _cmd_viewer(args):
+    from .viewer.server import ViewerServer, make_model_renderer
+    from .train.trainer import load_trainer_from_run
+
+    trainer = load_trainer_from_run(args.run_dir)
+    render_image = make_model_renderer(trainer.state.params, trainer.cfg,
+                                       size=args.size)
+    ViewerServer(render_image, port=args.port).serve_forever()
+
+
 def _add_process_labels(sub):
     p = sub.add_parser("process-labels", help="instance-colour PNGs → label "
                        "images (≙ utils/convert_segmentation_img_to_label.py)")
@@ -269,7 +287,7 @@ def main(argv=None):
     parser = argparse.ArgumentParser(prog="cropnerf_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
     for add in (_add_train, _add_export, _add_segment, _add_project,
-                _add_count, _add_render, _add_uncertainty,
+                _add_count, _add_render, _add_uncertainty, _add_viewer,
                 _add_process_labels):
         add(sub)
     args = parser.parse_args(argv)
@@ -281,6 +299,7 @@ def main(argv=None):
         "count": _cmd_count,
         "render": _cmd_render,
         "uncertainty": _cmd_uncertainty,
+        "viewer": _cmd_viewer,
         "process-labels": _cmd_process_labels,
     }[args.command](args)
 

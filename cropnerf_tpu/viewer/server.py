@@ -1,0 +1,167 @@
+"""Minimal dependency-free web viewer for trained models.
+
+Headless-friendly equivalent of the reference's viser viewer
+(/root/reference/crop_nerf/debug/viewer.py:47-113 boots an eval-mode
+nerfstudio ViewerState at :7007; SURVEY §2.2).  viser is not available in
+this image, so this serves a single-page orbit viewer over plain
+``http.server``: the browser requests ``/render?theta=..&phi=..&r=..`` and
+receives a PNG rendered by the jitted chunked renderer; arrow keys / drag
+orbit the camera, a channel selector switches rgb / semantics / depth /
+accumulation (≙ the reference viewer's output-type dropdown).
+"""
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+_PAGE = """<!DOCTYPE html>
+<html><head><title>cropnerf viewer</title><style>
+body{background:#111;color:#eee;font-family:sans-serif;margin:0;text-align:center}
+img{image-rendering:pixelated;width:70vmin;height:70vmin;margin-top:1em}
+select,button{margin:0.5em}
+</style></head><body>
+<div>
+  <select id="channel"><option>rgb</option><option>semantics_colormap</option>
+  <option>depth</option><option>accumulation</option></select>
+  radius <input type="range" id="r" min="0.4" max="3" step="0.1" value="1.2">
+  <span id="status"></span>
+</div>
+<img id="view" width="400" height="400">
+<script>
+let theta=0, phi=0.25, busy=false, dirty=true;
+const img=document.getElementById('view');
+function refresh(){
+  if(busy){dirty=true;return;}
+  busy=true;dirty=false;
+  const r=document.getElementById('r').value;
+  const ch=document.getElementById('channel').value;
+  const t0=performance.now();
+  fetch(`/render?theta=${theta}&phi=${phi}&r=${r}&channel=${ch}`)
+   .then(resp=>resp.blob()).then(b=>{
+     img.src=URL.createObjectURL(b);
+     document.getElementById('status').textContent=
+       `${(performance.now()-t0).toFixed(0)} ms`;
+     busy=false; if(dirty) refresh();
+   }).catch(()=>{busy=false;});
+}
+window.addEventListener('keydown',e=>{
+  if(e.key==='ArrowLeft')theta-=0.2; else if(e.key==='ArrowRight')theta+=0.2;
+  else if(e.key==='ArrowUp')phi=Math.min(1.3,phi+0.1);
+  else if(e.key==='ArrowDown')phi=Math.max(-1.3,phi-0.1); else return;
+  refresh();
+});
+let drag=null;
+img.addEventListener('mousedown',e=>drag=[e.clientX,e.clientY]);
+window.addEventListener('mouseup',()=>drag=null);
+window.addEventListener('mousemove',e=>{
+  if(!drag)return;
+  theta+=(e.clientX-drag[0])*0.01; phi+=(e.clientY-drag[1])*0.01;
+  phi=Math.max(-1.3,Math.min(1.3,phi)); drag=[e.clientX,e.clientY];
+  refresh();
+});
+document.getElementById('channel').onchange=refresh;
+document.getElementById('r').oninput=refresh;
+refresh();
+</script></body></html>"""
+
+
+class ViewerServer:
+    """Serve an interactive orbit view of a trained model.
+
+    render_image(theta, phi, radius, channel) -> [H, W, 3] float image is
+    supplied by the caller (see :func:`make_model_renderer`).
+    """
+
+    def __init__(self, render_image, host: str = "0.0.0.0", port: int = 7007):
+        self.render_image = render_image
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):
+                pass
+
+            def do_GET(self):
+                parsed = urlparse(self.path)
+                if parsed.path == "/":
+                    body = _PAGE.encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/html")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
+                if parsed.path == "/render":
+                    q = parse_qs(parsed.query)
+                    img = outer.render_image(
+                        theta=float(q.get("theta", ["0"])[0]),
+                        phi=float(q.get("phi", ["0.25"])[0]),
+                        radius=float(q.get("r", ["1.2"])[0]),
+                        channel=q.get("channel", ["rgb"])[0])
+                    from PIL import Image
+                    buf = io.BytesIO()
+                    Image.fromarray(
+                        (np.clip(img, 0, 1) * 255).astype(np.uint8)
+                    ).save(buf, "PNG")
+                    body = buf.getvalue()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "image/png")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
+                self.send_response(404)
+                self.end_headers()
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self._httpd.server_port
+
+    def serve_forever(self):
+        print(f"viewer at http://localhost:{self.port}", flush=True)
+        self._httpd.serve_forever()
+
+    def start_background(self) -> threading.Thread:
+        t = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        t.start()
+        return t
+
+    def shutdown(self):
+        self._httpd.shutdown()
+
+
+def make_model_renderer(params, cfg, size: int = 256, focal: float = 300.0,
+                        center=(0.0, 0.0, 0.0)):
+    """Bind a trained model to the viewer's render callback."""
+    import jax.numpy as jnp
+    from ..evaluation.render_video import orbit_cameras
+    from ..train.step import make_render_fn
+
+    render = make_render_fn(cfg)
+
+    def render_image(theta: float, phi: float, radius: float,
+                     channel: str = "rgb") -> np.ndarray:
+        import numpy as _np
+        eye_h = radius * float(np.sin(phi))
+        r_xy = radius * float(np.cos(phi))
+        # one-camera "orbit" at the requested angle
+        cams = orbit_cameras(1, radius=r_xy, height=eye_h, center=center,
+                             focal=focal, width=size, image_height=size)
+        # rotate by theta: orbit_cameras places camera 0 at angle 0
+        c = _np.cos(theta); s = _np.sin(theta)
+        rot = _np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], _np.float32)
+        c2w = _np.asarray(cams.c2w)
+        c2w = _np.einsum("ij,njk->nik", rot, c2w)
+        cams = cams.replace(c2w=jnp.asarray(c2w))
+        out = render(params, cams, jnp.int32(0), size, size)
+        img = np.asarray(out[channel])
+        if img.shape[-1] == 1:
+            m = img.max() or 1.0
+            img = np.repeat(img / m, 3, axis=-1)
+        return img
+
+    return render_image

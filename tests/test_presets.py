@@ -1,0 +1,59 @@
+"""All presets construct, initialise, and run a (tiny-batch) forward."""
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cropnerf_tpu.core.cameras import near_far_collider
+from cropnerf_tpu.core.rays import RayBundle
+from cropnerf_tpu.models.config import PRESETS
+from cropnerf_tpu.models.model import forward, model_init
+
+
+def tiny_bundle(R=4):
+    dirs = jax.random.normal(jax.random.PRNGKey(0), (R, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    rb = RayBundle(origins=jnp.zeros((R, 3)) + jnp.array([0.0, 0, 1.5]),
+                   directions=dirs, nears=jnp.zeros((R,)),
+                   fars=jnp.ones((R,)),
+                   camera_idx=jnp.zeros((R,), jnp.int32))
+    return near_far_collider(rb, 0.05, 1000.0)
+
+
+@pytest.mark.parametrize("name", list(PRESETS))
+def test_preset_constructs_and_forwards(name):
+    cfg = PRESETS[name]
+    params = model_init(jax.random.PRNGKey(0), cfg.model, num_images=2)
+    out = forward(params, tiny_bundle(), cfg.model,
+                  key=jax.random.PRNGKey(1), train=True)
+    assert out["rgb"].shape == (4, 3)
+    assert out["semantics"].shape == (4, cfg.model.field.num_semantic_classes)
+    assert bool(jnp.all(jnp.isfinite(out["rgb"])))
+    assert len(out["weights_list"]) == cfg.model.num_proposal_iterations + 1
+
+
+def test_preset_hyperparams_match_reference():
+    """Spot-check the headline numbers against fruit_nerf_config.py."""
+    base = PRESETS["cropnerf"]
+    assert base.max_num_iterations == 40_000
+    assert base.train_num_rays_per_batch == 4096
+    assert base.model.num_nerf_samples_per_ray == 48
+    assert base.model.num_proposal_samples_per_ray == (256, 96)
+    assert base.model.field.grid.log2_hashmap_size == 19
+    assert base.model.field.grid.max_res == 2048
+    assert base.learning_rate == 1e-2 and base.adam_eps == 1e-15
+
+    big = PRESETS["cropnerf-big"]
+    assert big.max_num_iterations == 100_000
+    assert big.train_num_rays_per_batch == 8192
+    assert big.model.num_nerf_samples_per_ray == 128
+    assert big.model.num_proposal_samples_per_ray == (512, 256)
+    assert big.model.field.grid.log2_hashmap_size == 21
+    assert big.model.field.grid.max_res == 4096
+    assert big.model.field.hidden_dim == 128
+    assert big.model.field.geo_feat_dim == 30
+
+    huge = PRESETS["cropnerf-huge"]
+    assert huge.train_num_rays_per_batch == 16384
+    assert huge.model.num_proposal_samples_per_ray == (512, 512)
+    assert huge.model.field.grid.max_res == 8192
+    assert huge.model.field.hidden_dim == 256

@@ -1,0 +1,36 @@
+"""Web viewer server test: serve a tiny model, fetch /render over HTTP."""
+import io
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+from PIL import Image
+
+from cropnerf_tpu.models.config import PRESETS
+from cropnerf_tpu.models.model import model_init
+from cropnerf_tpu.viewer.server import ViewerServer, make_model_renderer
+
+
+class TestViewer:
+    def test_serves_page_and_renders(self):
+        cfg = PRESETS["cropnerf-tiny"]
+        params = model_init(jax.random.PRNGKey(0), cfg.model, num_images=2)
+        render_image = make_model_renderer(params, cfg, size=32, focal=40.0)
+        server = ViewerServer(render_image, host="127.0.0.1", port=0)
+        server.start_background()
+        try:
+            base = f"http://127.0.0.1:{server.port}"
+            page = urllib.request.urlopen(base + "/", timeout=30).read()
+            assert b"cropnerf viewer" in page
+            png = urllib.request.urlopen(
+                base + "/render?theta=0.3&phi=0.2&r=1.2&channel=rgb",
+                timeout=120).read()
+            img = np.asarray(Image.open(io.BytesIO(png)))
+            assert img.shape == (32, 32, 3)
+            png2 = urllib.request.urlopen(
+                base + "/render?channel=semantics_colormap",
+                timeout=120).read()
+            assert len(png2) > 0
+        finally:
+            server.shutdown()
