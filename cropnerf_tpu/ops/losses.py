@@ -9,7 +9,7 @@ pairwise expansion.
 """
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List
 
 import jax
 import jax.numpy as jnp

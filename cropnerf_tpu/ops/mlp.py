@@ -11,7 +11,7 @@ MXU precision; fp32 accumulate via ``preferred_element_type``).
 """
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ scheduler); parameters are replicated — the reference's DDP equivalent
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -12,10 +12,8 @@ accumulation (≙ the reference viewer's output-type dropdown).
 from __future__ import annotations
 
 import io
-import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from pathlib import Path
 from urllib.parse import parse_qs, urlparse
 
 import numpy as np
