@@ -252,6 +252,74 @@ def _cmd_uncertainty(args):
     print(out)
 
 
+def _add_depth_project(sub):
+    p = sub.add_parser("depth-project", help="NeRF-free z-buffer projections "
+                       "(≙ scripts/depth_based_semantic_projection.py)")
+    p.add_argument("--pcd-dir", type=Path, required=True,
+                   help="dir with all_super_cluster_info_nsub_*.npy + clouds")
+    p.add_argument("--transforms", type=Path, required=True,
+                   help="transforms_train.json (see `render` camera export)")
+    p.add_argument("--full-tree", type=Path, default=None,
+                   help="full-tree cloud .ply (default: density.ply)")
+    p.add_argument("--k", type=int, default=2)
+    p.add_argument("--output-dir", type=Path, required=True)
+    p.add_argument("--height", type=int, default=1440)
+    p.add_argument("--width", type=int, default=1920)
+    p.add_argument("--fx", type=float, required=True)
+    p.add_argument("--fy", type=float, required=True)
+    p.add_argument("--cx", type=float, required=True)
+    p.add_argument("--cy", type=float, required=True)
+
+
+def _cmd_depth_project(args):
+    import json as _json
+    from .counting.depth_projection import (DepthProjectionConfig,
+                                            project_super_clusters_for_camera)
+    from .export.ply import read_ply
+
+    info = np.load(Path(args.pcd_dir) / f"all_super_cluster_info_nsub_{args.k}.npy",
+                   allow_pickle=True)
+    full_tree_path = args.full_tree or (Path(args.pcd_dir) / "density.ply")
+    full_tree, _ = read_ply(full_tree_path)
+    meta = _json.loads(Path(args.transforms).read_text())
+    frames = meta["frames"] if isinstance(meta, dict) else meta
+    cfg = DepthProjectionConfig(height=args.height, width=args.width)
+    for i, frame in enumerate(frames):
+        c2w = np.array(frame.get("transform",
+                                 frame.get("transform_matrix")))[:3, :4]
+        cam = {"fx": args.fx, "fy": args.fy, "cx": args.cx, "cy": args.cy,
+               "c2w": c2w, "index": i}
+        project_super_clusters_for_camera(cam, info, full_tree,
+                                          args.output_dir, cfg)
+    print(args.output_dir)
+
+
+def _add_depth_count(sub):
+    p = sub.add_parser("depth-count", help="count from depth projections "
+                       "(≙ segmentation/depth_projection_based_merger.py)")
+    p.add_argument("--projection-dir", type=Path, required=True)
+    p.add_argument("--pcd-dir", type=Path, required=True)
+    p.add_argument("--k", type=int, default=2)
+    p.add_argument("--graph-partition", default="community",
+                   choices=["clique", "bridge", "community"])
+    p.add_argument("--binary-threshold", type=int, default=100)
+    p.add_argument("--frame-sampling-interval", type=int, default=10)
+
+
+def _cmd_depth_count(args):
+    from .counting.depth_projection import (DepthMergerConfig,
+                                            count_instances_depth)
+    info = np.load(Path(args.pcd_dir) / f"all_super_cluster_info_nsub_{args.k}.npy",
+                   allow_pickle=True)
+    cfg = DepthMergerConfig(
+        graph_partition=args.graph_partition,
+        binary_threshold=args.binary_threshold,
+        frame_sampling_interval=args.frame_sampling_interval)
+    result = count_instances_depth(args.projection_dir, info, cfg)
+    print(json.dumps({"total_count": result.total_count,
+                      "per_super_cluster": result.per_super_cluster}))
+
+
 def _add_viewer(sub):
     p = sub.add_parser("viewer", help="interactive web viewer "
                        "(≙ debug/viewer.py, headless-friendly)")
@@ -287,7 +355,8 @@ def main(argv=None):
     parser = argparse.ArgumentParser(prog="cropnerf_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
     for add in (_add_train, _add_export, _add_segment, _add_project,
-                _add_count, _add_render, _add_uncertainty, _add_viewer,
+                _add_count, _add_depth_project, _add_depth_count,
+                _add_render, _add_uncertainty, _add_viewer,
                 _add_process_labels):
         add(sub)
     args = parser.parse_args(argv)
@@ -299,6 +368,8 @@ def main(argv=None):
         "count": _cmd_count,
         "render": _cmd_render,
         "uncertainty": _cmd_uncertainty,
+        "depth-project": _cmd_depth_project,
+        "depth-count": _cmd_depth_count,
         "viewer": _cmd_viewer,
         "process-labels": _cmd_process_labels,
     }[args.command](args)
