@@ -157,6 +157,32 @@ def _huge_model() -> ModelConfig:
     )
 
 
+def model_config_from_dict(d: dict) -> ModelConfig:
+    """Rebuild a ModelConfig from ``dataclasses.asdict`` output (checkpoint
+    run_config.json round-trip)."""
+    return ModelConfig(
+        field=FieldConfig(**{**d["field"],
+                             "grid": HashGridConfig(**d["field"]["grid"])}),
+        proposal_fields=tuple(
+            ProposalFieldConfig(**{**p, "grid": HashGridConfig(**p["grid"])})
+            for p in d["proposal_fields"]),
+        camera_opt=CameraOptConfig(**d["camera_opt"]),
+        **{k: (tuple(v) if isinstance(v, list) else v)
+           for k, v in d.items()
+           if k not in ("field", "proposal_fields", "camera_opt")})
+
+
+def train_config_from_dict(d: dict) -> "TrainConfig":
+    """Rebuild a TrainConfig from ``dataclasses.asdict`` output."""
+    fields = {f.name for f in dataclasses.fields(TrainConfig)}
+    kwargs = {}
+    for k, v in d.items():
+        if k not in fields:
+            continue
+        kwargs[k] = model_config_from_dict(v) if k == "model" else v
+    return TrainConfig(**kwargs)
+
+
 PRESETS = {
     # ≙ fruit_nerf (fruit_nerf_config.py:29-65)
     "cropnerf": TrainConfig(),

@@ -206,39 +206,8 @@ def load_trainer_from_run(run_dir: Path,
     (scripts/exporter.py:87, scripts/semantic_projection.py:139-143)."""
     run_dir = Path(run_dir)
     meta = json.loads((run_dir / "run_config.json").read_text())
-    cfg_dict = meta["config"]
-    preset = PRESETS["cropnerf"]
-
-    def build(dc_cls, d):
-        fields = {f.name: f for f in dataclasses.fields(dc_cls)}
-        kwargs = {}
-        for k, v in d.items():
-            if k not in fields:
-                continue
-            ft = fields[k].type
-            if dataclasses.is_dataclass(getattr(preset, "model", None)) and k == "model":
-                from ..models.config import ModelConfig
-                kwargs[k] = build_model_config(v)
-            else:
-                kwargs[k] = v
-        return dc_cls(**kwargs)
-
-    from ..models.config import (CameraOptConfig, FieldConfig, HashGridConfig,
-                                 ModelConfig, ProposalFieldConfig)
-
-    def build_model_config(d):
-        return ModelConfig(
-            field=FieldConfig(**{**d["field"],
-                                 "grid": HashGridConfig(**d["field"]["grid"])}),
-            proposal_fields=tuple(
-                ProposalFieldConfig(**{**p, "grid": HashGridConfig(**p["grid"])})
-                for p in d["proposal_fields"]),
-            camera_opt=CameraOptConfig(**d["camera_opt"]),
-            **{k: (tuple(v) if isinstance(v, list) else v)
-               for k, v in d.items()
-               if k not in ("field", "proposal_fields", "camera_opt")})
-
-    cfg = build(TrainConfig, cfg_dict)
+    from ..models.config import train_config_from_dict
+    cfg = train_config_from_dict(meta["config"])
     dc = meta["data_config"]
     data_config = DataparserConfig(
         data_dir=Path(dc["data_dir"]),

@@ -57,3 +57,15 @@ def test_preset_hyperparams_match_reference():
     assert huge.model.num_proposal_samples_per_ray == (512, 512)
     assert huge.model.field.grid.max_res == 8192
     assert huge.model.field.hidden_dim == 256
+
+
+class TestConfigRoundtrip:
+    @pytest.mark.parametrize("name", list(PRESETS))
+    def test_asdict_roundtrip(self, name):
+        import dataclasses
+        import json
+        from cropnerf_tpu.models.config import train_config_from_dict
+        cfg = PRESETS[name]
+        d = json.loads(json.dumps(dataclasses.asdict(cfg)))
+        cfg2 = train_config_from_dict(d)
+        assert cfg2 == cfg
