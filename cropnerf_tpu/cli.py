@@ -38,6 +38,8 @@ def _add_train(sub):
     p.add_argument("--experiment-name", default="cropnerf")
     p.add_argument("--multichip", action="store_true",
                    help="shard rays over all local devices")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint in --output")
 
 
 def _cmd_train(args):
@@ -54,7 +56,9 @@ def _cmd_train(args):
     if args.multichip and len(jax.devices()) > 1:
         mesh = jax.sharding.Mesh(np.array(jax.devices()), ("data",))
     trainer = Trainer(cfg, data_cfg, args.output, mesh=mesh,
-                      experiment_name=args.experiment_name)
+                      experiment_name=args.experiment_name,
+                      resume=args.resume)
+    trainer.install_signal_handlers()
     metrics = trainer.train(num_steps=args.max_steps)
     print(json.dumps({k: v for k, v in metrics.items()}, default=float))
 

@@ -50,7 +50,7 @@ class Trainer:
 
     def __init__(self, cfg: TrainConfig, data_config: DataparserConfig,
                  output_dir: Path, mesh: Optional[jax.sharding.Mesh] = None,
-                 experiment_name: str = "cropnerf"):
+                 experiment_name: str = "cropnerf", resume: bool = False):
         from ..utils.cache import enable_compilation_cache
         enable_compilation_cache()
         self.cfg = cfg
@@ -79,6 +79,28 @@ class Trainer:
         from ..utils.writer import MetricsWriter
         self.writer = MetricsWriter(self.output_dir / "logs")
         self._write_run_metadata()
+        self._stop_requested = False
+        if resume:
+            ckpts = sorted(self.ckpt_dir.glob("step-*"))
+            if ckpts:
+                self.load_checkpoint(ckpts[-1])
+                print(f"resumed from {ckpts[-1].name} "
+                      f"(step {int(self.state.step)})", flush=True)
+
+    def install_signal_handlers(self) -> None:
+        """Graceful preemption: SIGTERM/SIGINT request a stop; the train
+        loop checkpoints and returns instead of dying mid-step (the
+        reference has no preemption handling, SURVEY §5.3 — manual restarts
+        from the last periodic checkpoint)."""
+        import signal
+
+        def _handler(signum, frame):
+            self._stop_requested = True
+            print(f"signal {signum}: finishing step and checkpointing...",
+                  flush=True)
+
+        signal.signal(signal.SIGTERM, _handler)
+        signal.signal(signal.SIGINT, _handler)
 
     # -- checkpointing (≙ nerfstudio config.yml + step-*.ckpt, SURVEY §5.4) --
 
@@ -172,6 +194,8 @@ class Trainer:
         t0 = time.perf_counter()
         rays_done = 0
         for i in range(total):
+            if self._stop_requested:
+                break
             self._loop_key, sub = jax.random.split(self._loop_key)
             self.state, metrics = self.train_step(self.state, self.bank, sub)
             rays_done += cfg.train_num_rays_per_batch

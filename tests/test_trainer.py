@@ -91,3 +91,35 @@ class TestTrainerLoop:
         leaves2 = jax.tree.leaves(trainer2.state.params)
         for a, b in zip(leaves1, leaves2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+class TestResume:
+    def test_resume_continues_from_checkpoint(self, tmp_path):
+        root = write_synthetic_dataset(tmp_path / "ds")
+        cfg = dataclasses.replace(PRESETS["cropnerf-tiny"],
+                                  train_num_rays_per_batch=64,
+                                  steps_per_eval_image=10_000,
+                                  steps_per_save=10_000)
+        data_cfg = DataparserConfig(data_dir=root, train_split_fraction=0.8)
+        run_dir = tmp_path / "run"
+        t1 = Trainer(cfg, data_cfg, run_dir)
+        t1.train(num_steps=8, log_every=100)
+        assert int(t1.state.step) == 8
+
+        t2 = Trainer(cfg, data_cfg, run_dir, resume=True)
+        assert int(t2.state.step) == 8
+        t2.train(num_steps=3, log_every=100)
+        assert int(t2.state.step) == 11
+
+    def test_stop_requested_checkpoints_early(self, tmp_path):
+        root = write_synthetic_dataset(tmp_path / "ds")
+        cfg = dataclasses.replace(PRESETS["cropnerf-tiny"],
+                                  train_num_rays_per_batch=64,
+                                  steps_per_eval_image=10_000,
+                                  steps_per_save=10_000)
+        data_cfg = DataparserConfig(data_dir=root, train_split_fraction=0.8)
+        t = Trainer(cfg, data_cfg, tmp_path / "run")
+        t._stop_requested = True
+        t.train(num_steps=50, log_every=100)
+        assert int(t.state.step) == 0            # loop exited immediately
+        assert list((tmp_path / "run" / "checkpoints").glob("step-*"))
