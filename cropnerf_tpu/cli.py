@@ -48,6 +48,9 @@ def _cmd_train(args):
     from .models.config import PRESETS
     from .train.trainer import Trainer
 
+    if args.method not in PRESETS:
+        raise SystemExit(f"unknown method {args.method!r}; available: "
+                         f"{', '.join(sorted(PRESETS))}")
     cfg = PRESETS[args.method]
     data_cfg = DataparserConfig(
         data_dir=args.data, semantic_dir=args.semantic_dir,
@@ -77,6 +80,12 @@ def _add_export(sub):
                    help="apply the reference's 2/scale artifact transform "
                         "(default keeps the dataparser frame so downstream "
                         "stages stay frame-consistent)")
+    p.add_argument("--semantic-threshold", type=float, default=None,
+                   help="semantic logit cutoff (default 3.0, reference)")
+    p.add_argument("--density-threshold", type=float, default=None,
+                   help="density cutoff (default 70.0, reference)")
+    p.add_argument("--colormap-threshold", type=float, default=None,
+                   help="sigmoid cutoff for the colormap cloud (default 0.999)")
 
 
 def _cmd_export(args):
@@ -98,7 +107,18 @@ def _cmd_export(args):
                           if args.unscale else 2.0),
         num_points_per_side=args.num_points_per_side,
         rays_per_batch=args.rays_per_batch,
-        render_rgb=args.render_rgb)
+        render_rgb=args.render_rgb,
+        **{k: v for k, v in (
+            ("semantic_threshold", args.semantic_threshold),
+            ("density_threshold", args.density_threshold),
+            ("colormap_threshold", args.colormap_threshold)) if v is not None})
+    from .export.ply import read_ply
+    for name, p in paths.items():
+        n = len(read_ply(Path(p))[0])
+        if n == 0:
+            print(f"WARNING: {name}.ply is empty — the model's density/"
+                  f"semantic scale may be below the thresholds; try "
+                  f"--density-threshold/--semantic-threshold", flush=True)
     print(json.dumps({k: str(v) for k, v in paths.items()}))
 
 
@@ -356,6 +376,14 @@ def _cmd_process_labels(args):
 
 
 def main(argv=None):
+    # Platform override: some TPU plugins (axon) ignore JAX_PLATFORMS from
+    # the environment; CROPNERF_PLATFORM=cpu|tpu forces it through
+    # jax.config before any backend initialises.
+    import os
+    platform = os.environ.get("CROPNERF_PLATFORM")
+    if platform:
+        import jax
+        jax.config.update("jax_platforms", platform)
     parser = argparse.ArgumentParser(prog="cropnerf_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
     for add in (_add_train, _add_export, _add_segment, _add_project,

@@ -209,6 +209,10 @@ def count_instances(projection_dir: Path, super_cluster_info: np.ndarray,
     offsetting."""
     projection_dir = Path(projection_dir)
     n_super = min(cfg.max_super_clusters, len(super_cluster_info))
+    if n_super == 0:
+        print("Total bool: 0")
+        return CountResult(total_count=0, per_super_cluster=[], labels=[],
+                           affinities=[])
     n_sub = super_cluster_info[0]["aabb"].shape[0]
 
     def handle(idx: int):
