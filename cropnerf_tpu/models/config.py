@@ -19,6 +19,9 @@ class HashGridConfig:
     log2_hashmap_size: int = 19
     min_res: int = 16
     max_res: int = 2048
+    # "xla" (default; gathers at roofline on v5e) or "pallas" (fused
+    # VMEM-resident kernel, ops/pallas/hash_encode.py)
+    impl: str = "xla"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -77,7 +77,11 @@ def field_density(params: Dict, positions: jnp.ndarray, cfg: FieldConfig,
 
     res = level_resolutions(cfg.grid.num_levels, cfg.grid.min_res,
                             cfg.grid.max_res)
-    feats = hashgrid_encode(params["grid"], unit, res)
+    if cfg.grid.impl == "pallas":
+        from ..ops.pallas.hash_encode import hashgrid_encode_pallas
+        feats = hashgrid_encode_pallas(params["grid"], unit, res)
+    else:
+        feats = hashgrid_encode(params["grid"], unit, res)
     h = mlp_apply(params["mlp_base"], feats)
     density_raw, geo = h[..., 0], h[..., 1:]
     density = trunc_exp(density_raw) * selector

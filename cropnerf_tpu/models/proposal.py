@@ -43,6 +43,10 @@ def proposal_density(params: Dict, positions: jnp.ndarray,
     unit = unit * selector[..., None]
     res = level_resolutions(cfg.grid.num_levels, cfg.grid.min_res,
                             cfg.grid.max_res)
-    feats = hashgrid_encode(params["grid"], unit, res)
+    if cfg.grid.impl == "pallas":
+        from ..ops.pallas.hash_encode import hashgrid_encode_pallas
+        feats = hashgrid_encode_pallas(params["grid"], unit, res)
+    else:
+        feats = hashgrid_encode(params["grid"], unit, res)
     h = mlp_apply(params["mlp"], feats)
     return trunc_exp(h[..., 0]) * selector
