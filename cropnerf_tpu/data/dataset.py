@@ -32,10 +32,13 @@ def load_image(path: Path, downscale: int = 1) -> np.ndarray:
 
 
 def load_semantic_mask(path: Path, downscale: int = 1,
-                       shape: Tuple[int, int] | None = None) -> np.ndarray:
+                       shape: Tuple[int, int] | None = None,
+                       threshold: int = SEMANTIC_THRESHOLD) -> np.ndarray:
     """Binary {0,1} uint8 mask [H, W] (get_object_semantics,
-    cotton_dataset.py:34-39: grayscale, threshold > 3).  Missing files yield
-    an all-zero mask (datasets without segmentation still train RGB)."""
+    cotton_dataset.py:34-39: grayscale, threshold > 3; the alternate
+    FruitDataset jpg loader uses 125, data/fruit_dataset.py:31-57 — pass
+    ``threshold=125`` for that variant).  Missing files yield an all-zero
+    mask (datasets without segmentation still train RGB)."""
     if not Path(path).exists():
         assert shape is not None
         return np.zeros(shape, np.uint8)
@@ -44,10 +47,12 @@ def load_semantic_mask(path: Path, downscale: int = 1,
         img = img.resize((img.width // downscale, img.height // downscale),
                          Image.NEAREST)
     arr = np.asarray(img)
-    return (arr > SEMANTIC_THRESHOLD).astype(np.uint8)
+    return (arr > threshold).astype(np.uint8)
 
 
-def load_split(outputs: DataparserOutputs) -> Tuple[np.ndarray, np.ndarray]:
+def load_split(outputs: DataparserOutputs,
+               semantic_threshold: int = SEMANTIC_THRESHOLD
+               ) -> Tuple[np.ndarray, np.ndarray]:
     """Load all images + masks of a split → ([N,H,W,3] u8, [N,H,W] u8).
 
     All frames must share one post-downscale size (the dataparser rescales
@@ -58,7 +63,8 @@ def load_split(outputs: DataparserOutputs) -> Tuple[np.ndarray, np.ndarray]:
     for img_path, sem_path in zip(outputs.image_paths, outputs.semantic_paths):
         img = load_image(img_path, ds)
         images.append(img)
-        masks.append(load_semantic_mask(sem_path, ds, img.shape[:2]))
+        masks.append(load_semantic_mask(sem_path, ds, img.shape[:2],
+                                        semantic_threshold))
     shapes = {im.shape for im in images}
     assert len(shapes) == 1, f"mixed image sizes after downscale: {shapes}"
     return np.stack(images), np.stack(masks)

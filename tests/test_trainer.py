@@ -123,3 +123,20 @@ class TestResume:
         t.train(num_steps=50, log_every=100)
         assert int(t.state.step) == 0            # loop exited immediately
         assert list((tmp_path / "run" / "checkpoints").glob("step-*"))
+
+
+class TestMultichipTrainer:
+    def test_trainer_with_mesh(self, tmp_path):
+        """Trainer with a mesh over the 8 virtual CPU devices (the CLI
+        --multichip path)."""
+        root = write_synthetic_dataset(tmp_path / "ds")
+        cfg = dataclasses.replace(PRESETS["cropnerf-tiny"],
+                                  train_num_rays_per_batch=128,
+                                  steps_per_eval_image=10_000,
+                                  steps_per_save=10_000)
+        data_cfg = DataparserConfig(data_dir=root, train_split_fraction=0.8)
+        mesh = jax.sharding.Mesh(np.array(jax.devices()), ("data",))
+        trainer = Trainer(cfg, data_cfg, tmp_path / "run", mesh=mesh)
+        metrics = trainer.train(num_steps=5, log_every=5)
+        assert np.isfinite(metrics["loss"])
+        assert int(trainer.state.step) == 5
