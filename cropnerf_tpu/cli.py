@@ -350,6 +350,10 @@ def _add_viewer(sub):
     p.add_argument("--run-dir", type=Path, required=True)
     p.add_argument("--port", type=int, default=7007)
     p.add_argument("--size", type=int, default=256)
+    p.add_argument("--uncertainty", type=Path, default=None,
+                   help="unc.npy hessian grid to expose as an "
+                        "'uncertainty' channel")
+    p.add_argument("--uncertainty-lod", type=int, default=8)
 
 
 def _cmd_viewer(args):
@@ -357,8 +361,11 @@ def _cmd_viewer(args):
     from .train.trainer import load_trainer_from_run
 
     trainer = load_trainer_from_run(args.run_dir)
+    hessian = (np.load(args.uncertainty)
+               if args.uncertainty is not None else None)
     render_image = make_model_renderer(trainer.state.params, trainer.cfg,
-                                       size=args.size)
+                                       size=args.size, hessian=hessian,
+                                       uncertainty_lod=args.uncertainty_lod)
     ViewerServer(render_image, port=args.port).serve_forever()
 
 

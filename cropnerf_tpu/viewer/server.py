@@ -133,13 +133,40 @@ class ViewerServer:
 
 
 def make_model_renderer(params, cfg, size: int = 256, focal: float = 300.0,
-                        center=(0.0, 0.0, 0.0)):
-    """Bind a trained model to the viewer's render callback."""
+                        center=(0.0, 0.0, 0.0), hessian=None,
+                        uncertainty_lod: int = 8,
+                        uncertainty_n_samples: int = 1000):
+    """Bind a trained model to the viewer's render callback.
+
+    With a BayesRays ``hessian`` grid, the extra channel "uncertainty"
+    renders the per-ray uncertainty map (≙ the reference's uncertainty
+    viewer with its filter slider, bayesrays/run_viewer_u.py:49-120)."""
+    import jax
     import jax.numpy as jnp
     from ..evaluation.render_video import orbit_cameras
     from ..train.step import make_render_fn
 
     render = make_render_fn(cfg)
+    unc_fn = None
+    if hessian is not None:
+        from ..core.cameras import camera_ray_grid, near_far_collider
+        from ..core.rays import RayBundle
+        from ..uncertainty.bayesrays import render_uncertainty
+        hessian = jnp.asarray(hessian)
+
+        @jax.jit
+        def unc_fn(params, cams):
+            origins, dirs = camera_ray_grid(cams, 0, size, size)
+            rb = RayBundle(origins=origins, directions=dirs,
+                           nears=jnp.zeros_like(origins[:, 0]),
+                           fars=jnp.ones_like(origins[:, 0]),
+                           camera_idx=jnp.zeros_like(origins[:, 0],
+                                                     jnp.int32))
+            rb = near_far_collider(rb, cfg.model.near_plane,
+                                   cfg.model.far_plane)
+            u = render_uncertainty(params, rb, cfg.model, hessian,
+                                   uncertainty_lod, uncertainty_n_samples)
+            return u.reshape(size, size)
 
     def render_image(theta: float, phi: float, radius: float,
                      channel: str = "rgb") -> np.ndarray:
@@ -155,8 +182,12 @@ def make_model_renderer(params, cfg, size: int = 256, focal: float = 300.0,
         c2w = _np.asarray(cams.c2w)
         c2w = _np.einsum("ij,njk->nik", rot, c2w)
         cams = cams.replace(c2w=jnp.asarray(c2w))
-        out = render(params, cams, jnp.int32(0), size, size)
-        img = np.asarray(out[channel])
+        if channel == "uncertainty" and unc_fn is not None:
+            u = np.asarray(unc_fn(params, cams))
+            img = u[..., None]
+        else:
+            out = render(params, cams, jnp.int32(0), size, size)
+            img = np.asarray(out[channel])
         if img.shape[-1] == 1:
             m = img.max() or 1.0
             img = np.repeat(img / m, 3, axis=-1)

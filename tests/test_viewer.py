@@ -34,3 +34,20 @@ class TestViewer:
             assert len(png2) > 0
         finally:
             server.shutdown()
+
+
+class TestViewerUncertainty:
+    def test_uncertainty_channel(self):
+        import numpy as np
+        cfg = PRESETS["cropnerf-tiny"]
+        params = model_init(jax.random.PRNGKey(0), cfg.model, num_images=2)
+        lod = 3
+        hessian = np.abs(np.random.RandomState(0).randn((2 ** lod + 1) ** 3))
+        render_image = make_model_renderer(params, cfg, size=24, focal=30.0,
+                                           hessian=hessian,
+                                           uncertainty_lod=lod,
+                                           uncertainty_n_samples=10)
+        img = render_image(theta=0.0, phi=0.2, radius=1.2,
+                           channel="uncertainty")
+        assert img.shape == (24, 24, 3)
+        assert np.isfinite(img).all()
