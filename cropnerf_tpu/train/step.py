@@ -122,6 +122,32 @@ def make_train_step(cfg: TrainConfig, mesh: Optional[jax.sharding.Mesh] = None,
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
+def make_eval_batch_fn(cfg: TrainConfig):
+    """Jitted eval-batch metrics: forward (no grad, eval mode) + losses on a
+    random ray batch from the eval pixel bank (≙ VanillaPipeline
+    get_eval_loss_dict, SURVEY §2.1)."""
+    m = cfg.model
+    R = cfg.eval_num_rays_per_batch
+
+    @jax.jit
+    def eval_batch(params, bank: PixelBank, key: jax.Array):
+        idx = jax.random.randint(key, (R,), 0, bank.num_pixels)
+        cam, px, py = decode_pixel_index(idx, bank.height, bank.width)
+        rgb_gt = bank.rgb[idx].astype(jnp.float32) / 255.0
+        mask_gt = bank.mask[idx].astype(jnp.float32)
+        origins, dirs = generate_rays(bank.cameras, cam, px, py)
+        rb = RayBundle(origins=origins, directions=dirs,
+                       nears=jnp.zeros((R,)), fars=jnp.ones((R,)),
+                       camera_idx=cam)
+        rb = near_far_collider(rb, m.near_plane, m.far_plane)
+        outputs = forward(params, rb, m, key=None, train=False)
+        _, aux = compute_losses(params, outputs, rgb_gt, mask_gt, cfg)
+        aux["psnr"] = metric_ops.psnr(outputs["rgb"], rgb_gt)
+        return aux
+
+    return eval_batch
+
+
 def make_render_fn(cfg: TrainConfig, background: Optional[str] = None):
     """Chunked full-image renderer ≙ get_outputs_for_camera_ray_bundle
     (fruit_nerf.py:377-404), but the chunk loop is a ``lax.map`` inside one

@@ -27,7 +27,7 @@ from ..data.dataset import load_split
 from ..models.config import PRESETS, TrainConfig
 from ..ops import metrics as metric_ops
 from .state import TrainState, create_train_state
-from .step import make_render_fn, make_train_step
+from .step import make_eval_batch_fn, make_render_fn, make_train_step
 
 
 def cameras_from_outputs(out: DataparserOutputs) -> Cameras:
@@ -67,10 +67,16 @@ class Trainer:
         self.eval_images, self.eval_masks = load_split(self.eval_outputs)
         self.eval_cameras = cameras_from_outputs(self.eval_outputs)
 
+        # eval ray-batch pipeline (≙ next_eval + eval-batch losses every
+        # steps_per_eval_batch, fruit_nerf_config.py:31)
+        self.eval_bank: PixelBank = build_pixel_bank(
+            self.eval_images, self.eval_masks, self.eval_cameras)
+
         key = jax.random.PRNGKey(cfg.seed)
         self.state: TrainState = create_train_state(
             key, cfg, num_images=self.bank.num_images)
         self.train_step = make_train_step(cfg, mesh=mesh)
+        self.eval_batch_fn = make_eval_batch_fn(cfg)
         self.render = make_render_fn(cfg)
         self._loop_key = jax.random.PRNGKey(cfg.seed + 1)
 
@@ -173,6 +179,13 @@ class Trainer:
         }
         return m
 
+    def eval_batch(self, seed: int = 0) -> Dict[str, float]:
+        """Loss/PSNR on a random eval ray batch (≙ get_eval_loss_dict on
+        next_eval batches)."""
+        m = self.eval_batch_fn(self.state.params, self.eval_bank,
+                               jax.random.PRNGKey(seed))
+        return {f"eval_batch_{k}": float(v) for k, v in m.items()}
+
     def eval_all_images(self) -> Dict[str, float]:
         """Average metrics over every eval image (≙ VanillaPipeline
         ``get_average_eval_image_metrics``, fruit_pipeline.py:178-229)."""
@@ -210,6 +223,10 @@ class Trainer:
                 print(f"[step {step}] loss={m['loss']:.4f} "
                       f"psnr={m['psnr']:.2f} rays/s={m['rays_per_s']:.0f}",
                       flush=True)
+            if step % cfg.steps_per_eval_batch == 0 and step > 0:
+                eb = self.eval_batch(seed=step)
+                last_metrics.update(eb)
+                self.writer.write(step, eb, prefix="eval")
             if step % cfg.steps_per_eval_image == 0 and step > 0:
                 em = self.eval_image(0)
                 last_metrics.update(em)
