@@ -56,14 +56,26 @@ def _hash3(ix: jnp.ndarray, iy: jnp.ndarray, iz: jnp.ndarray, table_size: int) -
     return (h % jnp.uint32(table_size)).astype(jnp.int32)
 
 
+def level_uses_dense(res: int, table_size: int) -> bool:
+    """tcnn indexes coarse levels DENSELY (collision-free) when the full
+    (res+1)^3 corner lattice fits the table, and only hashes finer levels —
+    the behaviour of the reference's actual backend
+    (``implementation="tcnn"``, fruit_field.py:95)."""
+    return (res + 1) ** 3 <= table_size
+
+
 def hashgrid_encode(table: jnp.ndarray, positions: jnp.ndarray,
-                    resolutions: Sequence[int]) -> jnp.ndarray:
+                    resolutions: Sequence[int],
+                    hash_mode: str = "auto") -> jnp.ndarray:
     """Encode positions in [0,1]^3 → features.
 
     table:      [L, T, F]
     positions:  [..., 3] (values outside [0,1] are clamped by the caller's
                 selector; the hash itself tolerates any finite input)
     resolutions: static per-level grid sizes, len == L.
+    hash_mode:  "auto" (tcnn semantics: dense indexing for levels whose
+                corner lattice fits the table, hashed otherwise) or "hash"
+                (always hash, nerfstudio's torch HashEncoding semantics).
 
     Returns [..., L*F] float32.
     """
@@ -74,17 +86,26 @@ def hashgrid_encode(table: jnp.ndarray, positions: jnp.ndarray,
 
     outs = []
     for l, res in enumerate(resolutions):
+        dense = hash_mode == "auto" and level_uses_dense(res, table_size)
         scaled = pos * res
         base = jnp.floor(scaled)
         frac = scaled - base
         base = base.astype(jnp.int32)
+        if dense:
+            # clamp so corner indices stay in [0, res]
+            base = jnp.clip(base, 0, res - 1)
+            side = res + 1
 
         feats = jnp.zeros((pos.shape[0], F), dtype=jnp.float32)
         # 8 corners, unrolled: weight = prod over dims of (frac or 1-frac).
         for corner in range(8):
             dx, dy, dz = corner & 1, (corner >> 1) & 1, (corner >> 2) & 1
-            idx = _hash3(base[:, 0] + dx, base[:, 1] + dy, base[:, 2] + dz,
-                         table_size)
+            if dense:
+                idx = ((base[:, 0] + dx) * side * side
+                       + (base[:, 1] + dy) * side + (base[:, 2] + dz))
+            else:
+                idx = _hash3(base[:, 0] + dx, base[:, 1] + dy,
+                             base[:, 2] + dz, table_size)
             w = ((frac[:, 0] if dx else 1.0 - frac[:, 0])
                  * (frac[:, 1] if dy else 1.0 - frac[:, 1])
                  * (frac[:, 2] if dz else 1.0 - frac[:, 2]))

@@ -26,13 +26,19 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..hashgrid import _PRIMES, hashgrid_encode
+from ..hashgrid import _PRIMES, hashgrid_encode, level_uses_dense
 
 
-def _kernel(res_ref, pos_ref, table_ref, out_ref):
-    """Grid: (L, N/TILE).  pos [3, TILE], table [1, T, F], out [1, TILE, F]."""
+def _kernel(res_ref, dense_ref, pos_ref, table_ref, out_ref):
+    """Grid: (L, N/TILE).  pos [3, TILE], table [1, T, F], out [1, TILE, F].
+
+    ``dense_ref`` flags levels whose corner lattice fits the table: those
+    index densely (collision-free, tcnn semantics) instead of hashing.
+    """
     table_size = table_ref.shape[1]
-    res = res_ref[pl.program_id(0)]
+    l = pl.program_id(0)
+    res = res_ref[l]
+    dense = dense_ref[l]
     x = pos_ref[0, :] * res
     y = pos_ref[1, :] * res
     z = pos_ref[2, :] * res
@@ -41,6 +47,11 @@ def _kernel(res_ref, pos_ref, table_ref, out_ref):
     ix = bx.astype(jnp.uint32)
     iy = by.astype(jnp.uint32)
     iz = bz.astype(jnp.uint32)
+    res_i = res.astype(jnp.uint32)
+    side = res_i + 1
+    ixc = jnp.minimum(ix, res_i - 1)
+    iyc = jnp.minimum(iy, res_i - 1)
+    izc = jnp.minimum(iz, res_i - 1)
 
     acc = jnp.zeros((pos_ref.shape[1], table_ref.shape[2]), jnp.float32)
     for corner in range(8):
@@ -48,7 +59,10 @@ def _kernel(res_ref, pos_ref, table_ref, out_ref):
         h = ((ix + dx) * jnp.uint32(_PRIMES[0])
              ^ (iy + dy) * jnp.uint32(_PRIMES[1])
              ^ (iz + dz) * jnp.uint32(_PRIMES[2]))
-        idx = (h % jnp.uint32(table_size)).astype(jnp.int32)
+        hash_idx = h % jnp.uint32(table_size)
+        dense_idx = ((ixc + dx) * side * side + (iyc + dy) * side
+                     + (izc + dz))
+        idx = jnp.where(dense > 0, dense_idx, hash_idx).astype(jnp.int32)
         w = ((fx if dx else 1.0 - fx)
              * (fy if dy else 1.0 - fy)
              * (fz if dz else 1.0 - fz))
@@ -64,11 +78,14 @@ def _forward(table: jnp.ndarray, positions: jnp.ndarray,
     pos_t = positions.reshape(-1, 3).T                  # [3, N]
     N = pos_t.shape[1]
     res_arr = jnp.asarray(resolutions, jnp.float32)
+    dense_arr = jnp.asarray(
+        [1 if level_uses_dense(r, T) else 0 for r in resolutions], jnp.int32)
     out = pl.pallas_call(
         _kernel,
         grid=(L, N // tile_n),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),      # resolutions [L]
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # dense flags [L]
             pl.BlockSpec((3, tile_n), lambda l, n: (0, n),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, T, F), lambda l, n: (l, 0, 0),
@@ -78,7 +95,7 @@ def _forward(table: jnp.ndarray, positions: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((L, N, F), jnp.float32),
         interpret=interpret,
-    )(res_arr, pos_t.astype(jnp.float32), table)
+    )(res_arr, dense_arr, pos_t.astype(jnp.float32), table)
     # [L, N, F] → [N, L*F]
     return jnp.transpose(out, (1, 0, 2)).reshape(N, L * F)
 

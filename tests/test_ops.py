@@ -218,3 +218,29 @@ class TestMetrics:
         p = jnp.array([1.0, 1.0, 0.0, 0.0])
         t = jnp.array([1.0, 0.0, 1.0, 0.0])
         assert float(metric_ops.binary_iou(p, t)) == pytest.approx(1 / 3)
+
+
+class TestDenseIndexing:
+    def test_dense_levels_collision_free(self):
+        """tcnn-mode dense levels map distinct corners to distinct rows."""
+        from cropnerf_tpu.ops.hashgrid import level_uses_dense
+        assert level_uses_dense(16, 2 ** 19)
+        assert not level_uses_dense(2048, 2 ** 19)
+        # exact lattice points of a dense level read back their own rows
+        table = hashgrid_init(jax.random.PRNGKey(0), 1, 2, 19)
+        res = (16,)
+        side = 17
+        pos = jnp.array([[4 / 16, 7 / 16, 2 / 16], [5 / 16, 7 / 16, 2 / 16]])
+        out = hashgrid_encode(table, pos, res, hash_mode="auto")
+        idx0 = 4 * side * side + 7 * side + 2
+        idx1 = 5 * side * side + 7 * side + 2
+        np.testing.assert_allclose(out[0], table[0, idx0], atol=1e-6)
+        np.testing.assert_allclose(out[1], table[0, idx1], atol=1e-6)
+
+    def test_hash_mode_override(self):
+        table = hashgrid_init(jax.random.PRNGKey(1), 1, 2, 19)
+        res = (16,)
+        pos = jax.random.uniform(jax.random.PRNGKey(2), (32, 3))
+        dense = hashgrid_encode(table, pos, res, hash_mode="auto")
+        hashed = hashgrid_encode(table, pos, res, hash_mode="hash")
+        assert float(jnp.abs(dense - hashed).max()) > 0  # different rows
