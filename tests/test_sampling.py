@@ -119,3 +119,48 @@ class TestCameras:
         rb = near_far_collider(rb, 0.05, 1000.0)
         assert float(rb.nears[0]) == pytest.approx(0.05)
         assert float(rb.fars[0]) == pytest.approx(1000.0)
+
+
+class TestPDFTorchGolden:
+    def test_matches_torch_reimplementation(self):
+        """Deterministic (eval-mode) inverse-CDF resampling vs an
+        independent torch implementation of the same spec (histogram
+        padding, clamped cdf, midpoint queries, linear interp)."""
+        import torch
+
+        R, S, NB = 4, 16, 9          # NB bins → NB-1=8 samples requested
+        rng = np.random.RandomState(0)
+        bins_np = np.sort(rng.rand(R, S + 1), axis=-1).astype(np.float32)
+        w_np = rng.rand(R, S).astype(np.float32)
+        pad = 0.01
+
+        # --- torch reference (written from the sampler spec) ---
+        w = torch.tensor(w_np) + pad
+        pdf = w / w.sum(dim=-1, keepdim=True)
+        cdf = torch.cumsum(pdf, dim=-1)
+        cdf = torch.cat([torch.zeros_like(cdf[:, :1]), cdf], dim=-1)
+        cdf = torch.clamp(cdf, max=1.0)
+        u = torch.linspace(0, 1 - 1 / NB, NB).expand(R, NB) + 0.5 / NB
+        inds = torch.searchsorted(cdf, u.contiguous(), right=True)
+        below = torch.clamp(inds - 1, 0, S)
+        above = torch.clamp(inds, 0, S)
+        cdf_g0 = torch.gather(cdf, 1, below)
+        cdf_g1 = torch.gather(cdf, 1, above)
+        b = torch.tensor(bins_np)
+        bins_g0 = torch.gather(b, 1, below)
+        bins_g1 = torch.gather(b, 1, above)
+        denom = cdf_g1 - cdf_g0
+        t = torch.where(denom > 1e-10, (u - cdf_g0) / denom.clamp(min=1e-10),
+                        torch.zeros_like(denom)).clamp(0, 1)
+        ref_bins = (bins_g0 + t * (bins_g1 - bins_g0)).numpy()
+
+        # --- ours ---
+        rb = make_bundle(R=R, near=0.0, far=1.0)
+        s = pdf_ops.sample_pdf(None, rb, jnp.asarray(bins_np),
+                               jnp.asarray(w_np), NB - 1,
+                               pdf_ops.spacing_uniform(), train=False,
+                               histogram_padding=pad)
+        ours = np.concatenate(
+            [np.asarray(s.spacing_starts), np.asarray(s.spacing_ends[:, -1:])],
+            axis=-1)
+        np.testing.assert_allclose(ours, ref_bins, rtol=1e-5, atol=1e-6)
