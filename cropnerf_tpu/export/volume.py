@@ -32,10 +32,14 @@ from ..models.config import ModelConfig
 from ..models.model import forward_export
 from .ply import write_ply
 
-# exporter_utils.py:110-114 thresholds
+# exporter_utils.py:110-114 thresholds.  The reference's per-sample
+# ``semantics_colormap`` is ALREADY binarised at sigmoid>=0.9
+# (heaviside, fruit_nerf.py:488-491), so its ``>= 0.999`` filter on that
+# binary map is equivalent to sigmoid >= 0.9 on the raw logits — which is
+# what we apply here.
 SEMANTIC_LOGIT_THRESHOLD = 3.0
 DENSITY_THRESHOLD = 70.0
-COLORMAP_THRESHOLD = 0.999
+COLORMAP_THRESHOLD = 0.9
 
 
 def orthographic_ray_grid(aabb: np.ndarray, n_per_side: int, axis: int = 2

@@ -174,8 +174,11 @@ class Trainer:
         m = {
             "eval_psnr": float(metric_ops.psnr(out["rgb"], gt)),
             "eval_ssim": float(metric_ops.ssim(out["rgb"], gt)),
+            # reference IoU compares the 0.9-binarised semantic map
+            # (fruit_nerf.py:696-700 via the heaviside colormap)
             "eval_iou": float(metric_ops.binary_iou(
-                out["semantics_colormap"][..., 0], mask_gt)),
+                out["semantics_colormap"][..., 0], mask_gt,
+                threshold=0.9)),
         }
         return m
 
