@@ -107,7 +107,6 @@ def hashgrid_encode_pallas(table: jnp.ndarray, positions: jnp.ndarray,
     """Drop-in for :func:`cropnerf_tpu.ops.hashgrid.hashgrid_encode` with the
     fused Pallas forward.  positions [..., 3] in [0,1] → [..., L*F]."""
     batch_shape = positions.shape[:-1]
-    n = int(jnp.prod(jnp.asarray(batch_shape))) if batch_shape else 1
     flat = positions.reshape(-1, 3)
     if flat.shape[0] % tile_n != 0 or flat.shape[0] == 0:
         return hashgrid_encode(table, positions, resolutions)

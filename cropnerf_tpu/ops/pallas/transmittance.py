@@ -20,10 +20,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _inclusive_scan(x):
+    """Hillis-Steele prefix sum along the lane axis — Mosaic has no cumsum
+    primitive, so build it from log2(S) masked rolls."""
+    S = x.shape[-1]
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    k = 1
+    while k < S:
+        shifted = pltpu.roll(x, k, axis=x.ndim - 1)
+        x = x + jnp.where(col >= k, shifted, 0.0)
+        k *= 2
+    return x
+
+
 def _kernel(density_ref, deltas_ref, weights_ref):
     tau = density_ref[:] * deltas_ref[:]
     alpha = 1.0 - jnp.exp(-tau)
-    accum = jnp.cumsum(tau, axis=-1)
+    accum = _inclusive_scan(tau)
     trans = jnp.exp(-(accum - tau))
     weights_ref[:] = alpha * trans
 
