@@ -7,12 +7,15 @@ the 8 corner hashes, gathers, and the trilinear blend all happen on-chip,
 and only the blended features go back to HBM — no [N, 8, F] corner
 intermediates ever materialise (the XLA path's main memory cost at large N).
 
-The gather itself is expressed as ``jnp.take(table, idx, axis=0)``; Mosaic
-lowers small-minor-dim takes to a dynamic-gather loop.  v5e has no hardware
-gather unit, so throughput parity with XLA's gather is the realistic target
-(measured: XLA ≈ roofline) — the kernel's value is the fused memory profile
-and as the substrate for a future hash+MLP fusion.  Backward uses the XLA
-scatter-add transpose via ``jax.custom_vjp`` with recompute (no residuals).
+**v5e Mosaic limitation (measured, 2026-08)**: Mosaic's ``tpu.dynamic_gather``
+is a register-level gather — it requires the source to span a single vreg
+along the gather dimension ("Not implemented: Multiple source vregs along
+gather dimension"), so a 2^19-row hash table cannot be gathered inside a
+Pallas kernel on this generation.  The kernel therefore runs in interpreter
+mode (tests) and stands ready for future Mosaic gather support / SparseCore
+generations; production uses the XLA gather path, which measures at HBM
+roofline (~0.02 ms per 1.57 M samples, benchmarks/README.md).  Backward
+uses the XLA scatter-add transpose via ``jax.custom_vjp`` with recompute.
 
 Layouts: positions [3, N] (lane dim = N, 128-aligned); output [L, N, F].
 """
@@ -44,10 +47,11 @@ def _kernel(res_ref, dense_ref, pos_ref, table_ref, out_ref):
     z = pos_ref[2, :] * res
     bx, by, bz = jnp.floor(x), jnp.floor(y), jnp.floor(z)
     fx, fy, fz = x - bx, y - by, z - bz
-    ix = bx.astype(jnp.uint32)
-    iy = by.astype(jnp.uint32)
-    iz = bz.astype(jnp.uint32)
-    res_i = res.astype(jnp.uint32)
+    # Mosaic has no f32→u32 cast; go through int32
+    ix = bx.astype(jnp.int32).astype(jnp.uint32)
+    iy = by.astype(jnp.int32).astype(jnp.uint32)
+    iz = bz.astype(jnp.int32).astype(jnp.uint32)
+    res_i = res.astype(jnp.int32).astype(jnp.uint32)
     side = res_i + 1
     ixc = jnp.minimum(ix, res_i - 1)
     iyc = jnp.minimum(iy, res_i - 1)
@@ -66,7 +70,11 @@ def _kernel(res_ref, dense_ref, pos_ref, table_ref, out_ref):
         w = ((fx if dx else 1.0 - fx)
              * (fy if dy else 1.0 - fy)
              * (fz if dz else 1.0 - fz))
-        feats = jnp.take(table_ref[0], idx, axis=0)     # [TILE, F]
+        # take_along_axis maps onto Mosaic's dynamic-gather (jnp.take's
+        # flat-index form does not)
+        idx2 = jnp.broadcast_to(idx[:, None],
+                                (idx.shape[0], table_ref.shape[2]))
+        feats = jnp.take_along_axis(table_ref[0], idx2, axis=0)  # [TILE, F]
         acc = acc + feats * w[:, None]
     out_ref[0] = acc
 
