@@ -22,7 +22,7 @@ key = jax.random.PRNGKey(1)
 key, sub = jax.random.split(key)
 t0=time.perf_counter(); state, m = step(state, bank, sub); jax.block_until_ready(m["loss"])
 print(f"step0 {time.perf_counter()-t0:.1f}s", flush=True)
-for grp in range(5):
+for grp in range(30):
     t0=time.perf_counter()
     for _ in range(20):
         key, sub = jax.random.split(key)
