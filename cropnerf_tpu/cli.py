@@ -180,6 +180,9 @@ def _add_count(sub):
     p.add_argument("--binary-threshold", type=int, default=100)
     p.add_argument("--frame-sampling-interval", type=int, default=10)
     p.add_argument("--area-normalize", action="store_true")
+    p.add_argument("--attach-unlabeled", action="store_true",
+                   help="evidence-free subclusters attach to the nearest "
+                        "anchor instead of counting as instances")
     p.add_argument("--output-ply", type=Path, default=None)
 
 
@@ -192,7 +195,8 @@ def _cmd_count(args):
         graph_partition=args.graph_partition,
         binary_threshold=args.binary_threshold,
         frame_sampling_interval=args.frame_sampling_interval,
-        area_normalize=args.area_normalize)
+        area_normalize=args.area_normalize,
+        attach_unlabeled=args.attach_unlabeled)
     result = count_instances(args.projection_dir, info, cfg)
     out_ply = args.output_ply or (Path(args.pcd_dir) / "full_tree_seg_result.ply")
     write_instance_cloud(out_ply, info, result)

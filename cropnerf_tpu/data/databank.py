@@ -66,3 +66,91 @@ def decode_pixel_index(idx: jnp.ndarray, height: int, width: int):
     y = rem // width
     x = rem % width
     return cam, x, y
+
+
+# -- sharded bank (multi-host / large datasets) ------------------------------
+#
+# The replicated bank above is ideal up to a few GB.  For pod slices (or
+# datasets larger than one chip's HBM) the bank itself shards over the
+# ``data`` mesh axis at image granularity and each device samples rays from
+# its *local* shard only — the reference's per-rank datamanager contract
+# (fruit_pipeline.py:100-102: world_size/local_rank threaded into the
+# datamanager so each rank draws independent ray batches).  Each host loads
+# only its own image slice from disk (``process_image_range``) and the global
+# array is assembled with ``jax.make_array_from_process_local_data``.
+
+
+def padded_num_images(num_images: int, num_shards: int) -> int:
+    """Images are the shard granularity (every image holds H*W pixels), so
+    the global image count is padded up to a multiple of the mesh size."""
+    return ((num_images + num_shards - 1) // num_shards) * num_shards
+
+
+def pad_cameras(cameras: Cameras, num_shards: int) -> Cameras:
+    """Camera set padded to the sharding granularity by wrapping around
+    (``i % n``) — duplicated frames bias pixel sampling negligibly and keep
+    every shard shape-identical (static shapes under jit)."""
+    n = cameras.num_cameras
+    n_pad = padded_num_images(n, num_shards)
+    if n_pad == n:
+        return cameras
+    sel = np.arange(n_pad) % n
+
+    def take(a):
+        return jnp.asarray(np.asarray(a)[sel])
+
+    return Cameras(
+        c2w=take(cameras.c2w), fx=take(cameras.fx), fy=take(cameras.fy),
+        cx=take(cameras.cx), cy=take(cameras.cy),
+        width=take(cameras.width), height=take(cameras.height),
+        distortion=(take(cameras.distortion)
+                    if cameras.distortion is not None else None))
+
+
+def pad_images_for_sharding(images: np.ndarray, masks: np.ndarray,
+                            cameras: Cameras, num_shards: int):
+    """Repeat trailing images (and their cameras) so the stack divides the
+    mesh evenly."""
+    n = images.shape[0]
+    sel = np.arange(padded_num_images(n, num_shards)) % n
+    return images[sel], masks[sel], pad_cameras(cameras, num_shards)
+
+
+def process_image_range(num_images_padded: int) -> tuple:
+    """[lo, hi) slice of the padded global image stack this host must load
+    (per-host input pipelines feed only their shard, SURVEY §5.8)."""
+    import jax
+    per = num_images_padded // jax.process_count()
+    lo = jax.process_index() * per
+    return lo, lo + per
+
+
+def build_sharded_pixel_bank(local_images: np.ndarray,
+                             local_masks: np.ndarray,
+                             cameras: Cameras,
+                             mesh) -> PixelBank:
+    """Bank with rgb/mask sharded over the ``data`` mesh axis.
+
+    ``local_images``/``local_masks``: THIS process's contiguous slice of the
+    padded global stack (all of it in single-process runs).  ``cameras``:
+    the full padded global camera set (tiny; replicated).  The global image
+    count (``cameras.num_cameras``) must divide the mesh size.
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_global = cameras.num_cameras
+    assert n_global % mesh.size == 0, (
+        f"{n_global} images over {mesh.size} devices: pad first "
+        "(pad_images_for_sharding)")
+    n, h, w, _ = local_images.shape
+    assert n * jax.process_count() == n_global, (
+        f"each of {jax.process_count()} processes must hold "
+        f"{n_global // jax.process_count()} images, got {n}")
+    rgb = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("data")), local_images.reshape(-1, 3))
+    mask = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("data")), local_masks.reshape(-1))
+    replicate = NamedSharding(mesh, P())
+    cams = jax.tree.map(lambda a: jax.device_put(a, replicate), cameras)
+    return PixelBank(rgb=rgb, mask=mask, cameras=cams, height=h, width=w)

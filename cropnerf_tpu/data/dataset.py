@@ -51,16 +51,23 @@ def load_semantic_mask(path: Path, downscale: int = 1,
 
 
 def load_split(outputs: DataparserOutputs,
-               semantic_threshold: int = SEMANTIC_THRESHOLD
-               ) -> Tuple[np.ndarray, np.ndarray]:
+               semantic_threshold: int = SEMANTIC_THRESHOLD,
+               indices=None) -> Tuple[np.ndarray, np.ndarray]:
     """Load all images + masks of a split → ([N,H,W,3] u8, [N,H,W] u8).
 
     All frames must share one post-downscale size (the dataparser rescales
     intrinsics consistently; mixed sizes would break the flat pixel bank).
+    ``indices`` selects a frame subset (may repeat) — multi-host runs load
+    only their local shard of the padded frame list.
     """
     ds = outputs.downscale_factor
+    image_paths = list(outputs.image_paths)
+    semantic_paths = list(outputs.semantic_paths)
+    if indices is not None:
+        image_paths = [image_paths[i] for i in indices]
+        semantic_paths = [semantic_paths[i] for i in indices]
     images, masks = [], []
-    for img_path, sem_path in zip(outputs.image_paths, outputs.semantic_paths):
+    for img_path, sem_path in zip(image_paths, semantic_paths):
         img = load_image(img_path, ds)
         images.append(img)
         masks.append(load_semantic_mask(sem_path, ds, img.shape[:2],

@@ -87,6 +87,10 @@ class ModelConfig:
     distortion_loss_mult: float = 0.002
     semantic_loss_weight: float = 1.0
     pass_semantic_gradients: bool = False
+    # nerfacto's near-camera floater fix ("Floaters No More"): scale field-
+    # output gradients by clamp(t², 0, 1); off by default like the reference
+    # (fruit_nerf.py:432-434 behind config.use_gradient_scaling)
+    use_gradient_scaling: bool = False
     camera_opt: CameraOptConfig = CameraOptConfig()
     # rematerialise per-sample field evals in the backward pass: the hash
     # gathers are recomputed instead of stored, cutting peak HBM by ~10x at

@@ -95,12 +95,16 @@ def _proposal_sampling(params: Dict, rb: RayBundle, cfg: ModelConfig,
 def forward(params: Dict, ray_bundle: RayBundle, cfg: ModelConfig,
             key: Optional[jax.Array] = None, train: bool = False,
             anneal: jnp.ndarray | float = 1.0,
-            background: Optional[str] = None) -> Dict[str, jnp.ndarray]:
+            background: Optional[str] = None,
+            density_hook=None) -> Dict[str, jnp.ndarray]:
     """Full composited forward pass.
 
     Train path ≙ fruit_nerf.py:543-599; eval/inference uses mean appearance
     and optionally a black background (the projection CLI overrides the
-    background, scripts/semantic_projection.py:158).
+    background, scripts/semantic_projection.py:158).  ``density_hook``
+    (positions, density) -> density post-processes the final field density —
+    the BayesRays uncertainty-filtered rendering path
+    (bayesrays/output_uncertainty.py:44-63 density filtering).
     """
     rb = apply_to_raybundle(params["camera_opt"], ray_bundle,
                             cfg.camera_opt.mode) if train else ray_bundle
@@ -121,6 +125,20 @@ def forward(params: Dict, ray_bundle: RayBundle, cfg: ModelConfig,
     density, rgb_samples, sem_samples = field_eval(
         params["field"], samples.positions, samples.directions,
         samples.camera_idx)
+    if cfg.use_gradient_scaling:
+        # Gradient scaling by squared sample distance (≙ nerfacto's
+        # scale_gradients_by_distance_squared, fruit_nerf.py:432-434;
+        # forward is the identity, backward multiplies by clamp(t², 0, 1))
+        s = jnp.clip(samples.midpoints ** 2, 0.0, 1.0)
+
+        def gscale(v, s):
+            return v * s + jax.lax.stop_gradient(v * (1.0 - s))
+
+        density = gscale(density, s)
+        rgb_samples = gscale(rgb_samples, s[..., None])
+        sem_samples = gscale(sem_samples, s[..., None])
+    if density_hook is not None:
+        density = density_hook(samples.positions, density)
     weights = render_ops.render_weights(density, samples.deltas)
 
     sdist = jnp.concatenate(

@@ -122,6 +122,75 @@ def make_train_step(cfg: TrainConfig, mesh: Optional[jax.sharding.Mesh] = None,
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
+def make_sharded_train_step(cfg: TrainConfig, mesh: jax.sharding.Mesh,
+                            donate: bool = True):
+    """Train step for a *sharded* pixel bank (multi-host / HBM-bound data).
+
+    Unlike :func:`make_train_step` (replicated bank, globally-sampled ray
+    indices), here ``bank.rgb``/``bank.mask`` are sharded over the ``data``
+    mesh axis at image granularity and each device samples its R/ndev rays
+    from its local shard inside ``shard_map`` — gathers stay chip-local, no
+    collective touches pixel data, and only the gradient ``pmean`` crosses
+    ICI.  This is the reference's per-rank datamanager + DDP contract
+    (fruit_pipeline.py:100-121) in SPMD form.  Cameras/params replicated.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    tx = make_optimizer(cfg)
+    m = cfg.model
+    ndev = mesh.size
+    R = cfg.train_num_rays_per_batch
+    assert R % ndev == 0, f"{R} rays over {ndev} devices"
+    R_local = R // ndev
+
+    def train_step(state: TrainState, bank: PixelBank, key: jax.Array
+                   ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        # height/width are static pytree fields → plain ints at trace time
+        height, width = bank.height, bank.width
+        images_per_device = bank.num_pixels // (height * width * ndev)
+        local_pixels = bank.num_pixels // ndev
+
+        def local_grads(params, rgb, mask, cameras, step, key):
+            """Per-device body: rgb/mask are the LOCAL pixel shard."""
+            di = jax.lax.axis_index("data")
+            key_idx, key_model = jax.random.split(jax.random.fold_in(key, di))
+
+            def loss_fn(params):
+                idx = jax.random.randint(key_idx, (R_local,), 0, local_pixels)
+                cam_l, px, py = decode_pixel_index(idx, height, width)
+                cam = cam_l + di * images_per_device  # global camera id
+                rgb_gt = rgb[idx].astype(jnp.float32) / 255.0
+                mask_gt = mask[idx].astype(jnp.float32)
+                origins, dirs = generate_rays(cameras, cam, px, py)
+                rb = RayBundle(origins=origins, directions=dirs,
+                               nears=jnp.zeros((R_local,)),
+                               fars=jnp.ones((R_local,)), camera_idx=cam)
+                rb = near_far_collider(rb, m.near_plane, m.far_plane)
+                anneal = anneal_factor(step, m)
+                outputs = forward(params, rb, m, key=key_model, train=True,
+                                  anneal=anneal)
+                prop_flag = _prop_update_flag(step, cfg)
+                loss, aux = compute_losses(params, outputs, rgb_gt, mask_gt,
+                                           cfg, prop_flag)
+                aux["psnr"] = metric_ops.psnr(outputs["rgb"], rgb_gt)
+                return loss, aux
+
+            (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            return jax.lax.pmean(grads, "data"), jax.lax.pmean(aux, "data")
+
+        grads, aux = jax.shard_map(
+            local_grads, mesh=mesh,
+            in_specs=(P(), P("data"), P("data"), P(), P(), P()),
+            out_specs=(P(), P()),
+        )(state.params, bank.rgb, bank.mask, bank.cameras, state.step, key)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(params=params, opt_state=opt_state,
+                             step=state.step + 1), aux
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
 def make_eval_batch_fn(cfg: TrainConfig):
     """Jitted eval-batch metrics: forward (no grad, eval mode) + losses on a
     random ray batch from the eval pixel bank (≙ VanillaPipeline
@@ -148,19 +217,23 @@ def make_eval_batch_fn(cfg: TrainConfig):
     return eval_batch
 
 
-def make_render_fn(cfg: TrainConfig, background: Optional[str] = None):
+def make_render_fn(cfg: TrainConfig, background: Optional[str] = None,
+                   density_hook=None):
     """Chunked full-image renderer ≙ get_outputs_for_camera_ray_bundle
     (fruit_nerf.py:377-404), but the chunk loop is a ``lax.map`` inside one
     jit — each chunk is a fixed-shape slab so there is exactly one compile.
 
     Returns ``render(params, cameras, cam_index, height, width) -> outputs``
-    with image-shaped arrays [H, W, C].
+    with image-shaped arrays [H, W, C].  ``density_hook`` is an optional
+    (positions, density, hook_arg) -> density post-filter; ``hook_arg`` is a
+    traced scalar (e.g. a viewer slider value — no recompile per value).
     """
     m = cfg.model
     chunk = cfg.eval_num_rays_per_chunk
 
     @functools.partial(jax.jit, static_argnums=(3, 4))
-    def render(params, cameras: Cameras, cam_index, height: int, width: int):
+    def render(params, cameras: Cameras, cam_index, height: int, width: int,
+               hook_arg=0.0):
         ys, xs = jnp.meshgrid(jnp.arange(height), jnp.arange(width),
                               indexing="ij")
         xs = xs.reshape(-1)
@@ -179,8 +252,10 @@ def make_render_fn(cfg: TrainConfig, background: Optional[str] = None):
                            fars=jnp.ones_like(px, jnp.float32),
                            camera_idx=cx)
             rb = near_far_collider(rb, m.near_plane, m.far_plane)
+            hook = (None if density_hook is None
+                    else lambda p, d: density_hook(p, d, hook_arg))
             out = forward(params, rb, m, key=None, train=False,
-                          background=background)
+                          background=background, density_hook=hook)
             return {k: out[k] for k in
                     ("rgb", "accumulation", "depth", "semantics",
                      "semantics_colormap")}

@@ -50,7 +50,8 @@ class Trainer:
 
     def __init__(self, cfg: TrainConfig, data_config: DataparserConfig,
                  output_dir: Path, mesh: Optional[jax.sharding.Mesh] = None,
-                 experiment_name: str = "cropnerf", resume: bool = False):
+                 experiment_name: str = "cropnerf", resume: bool = False,
+                 shard_bank: Optional[bool] = None):
         from ..utils.cache import enable_compilation_cache
         enable_compilation_cache()
         self.cfg = cfg
@@ -58,12 +59,16 @@ class Trainer:
         self.output_dir = Path(output_dir)
         self.mesh = mesh
         self.experiment_name = experiment_name
+        # Sharded bank: default on multi-host (each host loads only its image
+        # slice, the reference's per-rank datamanager, fruit_pipeline.py:100-
+        # 102); opt-in on single host (HBM-bound datasets).
+        if shard_bank is None:
+            shard_bank = mesh is not None and jax.process_count() > 1
+        self.shard_bank = bool(shard_bank and mesh is not None)
 
         self.train_outputs = parse_transforms(data_config, "train")
         self.eval_outputs = parse_transforms(data_config, "eval")
-        images, masks = load_split(self.train_outputs)
-        self.bank: PixelBank = build_pixel_bank(
-            images, masks, cameras_from_outputs(self.train_outputs))
+        self.bank: PixelBank = self._build_train_bank()
         self.eval_images, self.eval_masks = load_split(self.eval_outputs)
         self.eval_cameras = cameras_from_outputs(self.eval_outputs)
 
@@ -75,7 +80,11 @@ class Trainer:
         key = jax.random.PRNGKey(cfg.seed)
         self.state: TrainState = create_train_state(
             key, cfg, num_images=self.bank.num_images)
-        self.train_step = make_train_step(cfg, mesh=mesh)
+        if self.shard_bank:
+            from .step import make_sharded_train_step
+            self.train_step = make_sharded_train_step(cfg, mesh)
+        else:
+            self.train_step = make_train_step(cfg, mesh=mesh)
         self.eval_batch_fn = make_eval_batch_fn(cfg)
         self.render = make_render_fn(cfg)
         self._loop_key = jax.random.PRNGKey(cfg.seed + 1)
@@ -92,6 +101,24 @@ class Trainer:
                 self.load_checkpoint(ckpts[-1])
                 print(f"resumed from {ckpts[-1].name} "
                       f"(step {int(self.state.step)})", flush=True)
+
+    def _build_train_bank(self) -> PixelBank:
+        if not self.shard_bank:
+            images, masks = load_split(self.train_outputs)
+            return build_pixel_bank(
+                images, masks, cameras_from_outputs(self.train_outputs))
+        # Sharded bank: pad the frame list to the mesh size, load only this
+        # process's contiguous slice, assemble the global pixel array.
+        from ..data.databank import (build_sharded_pixel_bank, pad_cameras,
+                                     padded_num_images, process_image_range)
+        n = len(self.train_outputs.image_paths)
+        n_pad = padded_num_images(n, self.mesh.size)
+        sel = np.arange(n_pad) % n
+        lo, hi = process_image_range(n_pad)
+        images, masks = load_split(self.train_outputs, indices=sel[lo:hi])
+        cams = pad_cameras(cameras_from_outputs(self.train_outputs),
+                           self.mesh.size)
+        return build_sharded_pixel_bank(images, masks, cams, self.mesh)
 
     def install_signal_handlers(self) -> None:
         """Graceful preemption: SIGTERM/SIGINT request a stop; the train

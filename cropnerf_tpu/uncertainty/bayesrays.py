@@ -176,6 +176,28 @@ def uncertainty_at(points: jnp.ndarray, hessian: jnp.ndarray, cfg: ModelConfig,
     return unc.reshape(shape)
 
 
+def make_uncertainty_density_hook(hessian: jnp.ndarray, cfg: ModelConfig,
+                                  lod: int, n_samples: int,
+                                  lambda_reg: float = 1e-4):
+    """Density post-filter for uncertainty-filtered rendering: zero the
+    field density wherever pointwise uncertainty exceeds the (traced)
+    threshold — the reference viewer's filter slider
+    (bayesrays/run_viewer_u.py:49-120 + output_uncertainty.py:44-63).
+
+    Returns ``hook(positions, density, threshold) -> density`` for
+    :func:`cropnerf_tpu.models.model.forward` /
+    :func:`cropnerf_tpu.train.step.make_render_fn`.
+    """
+    hessian = jnp.asarray(hessian)
+
+    def hook(positions, density, threshold):
+        unc = uncertainty_at(positions, hessian, cfg, lod, n_samples,
+                             lambda_reg)
+        return jnp.where(unc <= threshold, density, 0.0)
+
+    return hook
+
+
 def render_uncertainty(params: Dict, rb: RayBundle, cfg: ModelConfig,
                        hessian: jnp.ndarray, lod: int, n_samples: int,
                        lambda_reg: float = 1e-4,

@@ -28,6 +28,7 @@ select,button{margin:0.5em}
   <select id="channel"><option>rgb</option><option>semantics_colormap</option>
   <option>depth</option><option>accumulation</option></select>
   radius <input type="range" id="r" min="0.4" max="3" step="0.1" value="1.2">
+  filter <input type="range" id="f" min="0" max="1" step="0.02" value="1">
   <span id="status"></span>
 </div>
 <img id="view" width="400" height="400">
@@ -38,9 +39,10 @@ function refresh(){
   if(busy){dirty=true;return;}
   busy=true;dirty=false;
   const r=document.getElementById('r').value;
+  const f=document.getElementById('f').value;
   const ch=document.getElementById('channel').value;
   const t0=performance.now();
-  fetch(`/render?theta=${theta}&phi=${phi}&r=${r}&channel=${ch}`)
+  fetch(`/render?theta=${theta}&phi=${phi}&r=${r}&f=${f}&channel=${ch}`)
    .then(resp=>resp.blob()).then(b=>{
      img.src=URL.createObjectURL(b);
      document.getElementById('status').textContent=
@@ -65,6 +67,7 @@ window.addEventListener('mousemove',e=>{
 });
 document.getElementById('channel').onchange=refresh;
 document.getElementById('r').oninput=refresh;
+document.getElementById('f').oninput=refresh;
 refresh();
 </script></body></html>"""
 
@@ -100,7 +103,8 @@ class ViewerServer:
                         theta=float(q.get("theta", ["0"])[0]),
                         phi=float(q.get("phi", ["0.25"])[0]),
                         radius=float(q.get("r", ["1.2"])[0]),
-                        channel=q.get("channel", ["rgb"])[0])
+                        channel=q.get("channel", ["rgb"])[0],
+                        unc_filter=float(q.get("f", ["1"])[0]))
                     from PIL import Image
                     buf = io.BytesIO()
                     Image.fromarray(
@@ -139,14 +143,24 @@ def make_model_renderer(params, cfg, size: int = 256, focal: float = 300.0,
     """Bind a trained model to the viewer's render callback.
 
     With a BayesRays ``hessian`` grid, the extra channel "uncertainty"
-    renders the per-ray uncertainty map (≙ the reference's uncertainty
-    viewer with its filter slider, bayesrays/run_viewer_u.py:49-120)."""
+    renders the per-ray uncertainty map, and the page's *filter* slider
+    suppresses density wherever pointwise uncertainty exceeds the slider
+    value — uncertainty-filtered rendering of every channel (≙ the
+    reference's uncertainty viewer + filter slider,
+    bayesrays/run_viewer_u.py:49-120, output_uncertainty.py:44-63).  The
+    threshold is a traced scalar: moving the slider does not recompile."""
     import jax
     import jax.numpy as jnp
     from ..evaluation.render_video import orbit_cameras
     from ..train.step import make_render_fn
 
-    render = make_render_fn(cfg)
+    hook = None
+    if hessian is not None:
+        from ..uncertainty.bayesrays import make_uncertainty_density_hook
+        hook = make_uncertainty_density_hook(
+            jnp.asarray(hessian), cfg.model, uncertainty_lod,
+            uncertainty_n_samples)
+    render = make_render_fn(cfg, density_hook=hook)
     unc_fn = None
     if hessian is not None:
         from ..core.cameras import camera_ray_grid, near_far_collider
@@ -169,7 +183,8 @@ def make_model_renderer(params, cfg, size: int = 256, focal: float = 300.0,
             return u.reshape(size, size)
 
     def render_image(theta: float, phi: float, radius: float,
-                     channel: str = "rgb") -> np.ndarray:
+                     channel: str = "rgb",
+                     unc_filter: float = 1.0) -> np.ndarray:
         import numpy as _np
         eye_h = radius * float(np.sin(phi))
         r_xy = radius * float(np.cos(phi))
@@ -186,7 +201,8 @@ def make_model_renderer(params, cfg, size: int = 256, focal: float = 300.0,
             u = np.asarray(unc_fn(params, cams))
             img = u[..., None]
         else:
-            out = render(params, cams, jnp.int32(0), size, size)
+            out = render(params, cams, jnp.int32(0), size, size,
+                         jnp.float32(unc_filter))
             img = np.asarray(out[channel])
         if img.shape[-1] == 1:
             m = img.max() or 1.0

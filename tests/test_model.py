@@ -154,3 +154,33 @@ class TestTrainStep:
         state1, metrics1 = step1(state, bank, jax.random.PRNGKey(3))
         assert float(metrics1["loss"]) == pytest.approx(
             float(metrics["loss"]), rel=1e-4)
+
+
+class TestGradientScaling:
+    """use_gradient_scaling ≙ nerfacto's scale_gradients_by_distance_squared
+    (fruit_nerf.py:432-434): forward identical, field gradients damped by
+    clamp(t², 0, 1) near the camera."""
+
+    def test_forward_identity_grads_damped(self):
+        import dataclasses as dc
+        params = model_init(jax.random.PRNGKey(0), CFG.model, num_images=4)
+        rb = make_bundle(R=16)
+        cfg_off = CFG.model
+        cfg_on = dc.replace(CFG.model, use_gradient_scaling=True)
+
+        out_off = forward(params, rb, cfg_off, train=False)
+        out_on = forward(params, rb, cfg_on, train=False)
+        np.testing.assert_allclose(np.asarray(out_on["rgb"]),
+                                   np.asarray(out_off["rgb"]),
+                                   rtol=1e-5, atol=1e-6)
+
+        def loss(p, cfg):
+            out = forward(p, rb, cfg, train=False)
+            return jnp.sum(out["rgb"] ** 2)
+
+        g_off = jax.grad(loss)(params, cfg_off)["field"]
+        g_on = jax.grad(loss)(params, cfg_on)["field"]
+        n_off = sum(float(jnp.abs(g).sum()) for g in jax.tree.leaves(g_off))
+        n_on = sum(float(jnp.abs(g).sum()) for g in jax.tree.leaves(g_on))
+        assert n_on < n_off            # all sample distances < 1 → damped
+        assert n_on > 0.0              # but gradients still flow

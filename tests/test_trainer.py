@@ -140,3 +140,76 @@ class TestMultichipTrainer:
         metrics = trainer.train(num_steps=5, log_every=5)
         assert np.isfinite(metrics["loss"])
         assert int(trainer.state.step) == 5
+
+
+class TestShardedBank:
+    """Sharded pixel bank + shard_map train step (multi-host data path:
+    bank sharded over the data axis, per-device local ray sampling —
+    ≙ the reference's per-rank datamanager, fruit_pipeline.py:100-121)."""
+
+    def test_sharded_bank_layout(self):
+        from cropnerf_tpu.data.databank import (
+            build_sharded_pixel_bank, pad_cameras, padded_num_images)
+        mesh = jax.sharding.Mesh(np.array(jax.devices()), ("data",))
+        n, h, w = 6, 8, 8                       # 6 images over 8 devices
+        cams = ring_cameras(n=n, height=h, width=w, focal=10.0)
+        images, masks = render_synthetic_images(cams, h, w)
+        cams_p = pad_cameras(cams, mesh.size)
+        assert cams_p.num_cameras == padded_num_images(n, mesh.size) == 8
+        sel = np.arange(8) % n
+        bank = build_sharded_pixel_bank(images[sel], masks[sel], cams_p, mesh)
+        assert bank.num_pixels == 8 * h * w
+        assert bank.num_images == 8
+        # sharded over pixels, one image per device
+        assert len(bank.rgb.sharding.device_set) == 8
+        np.testing.assert_array_equal(
+            np.asarray(bank.rgb).reshape(8, h, w, 3), images[sel])
+        # wrapped cameras duplicate the originals
+        np.testing.assert_allclose(np.asarray(cams_p.c2w)[6],
+                                   np.asarray(cams.c2w)[0])
+
+    def test_sharded_step_trains(self):
+        import dataclasses as dc
+        from cropnerf_tpu.data.databank import (
+            build_sharded_pixel_bank, pad_cameras)
+        from cropnerf_tpu.train.state import create_train_state
+        from cropnerf_tpu.train.step import make_sharded_train_step
+        mesh = jax.sharding.Mesh(np.array(jax.devices()), ("data",))
+        n, h, w = 8, 16, 16
+        cams = ring_cameras(n=n, height=h, width=w, focal=20.0)
+        images, masks = render_synthetic_images(cams, h, w)
+        bank = build_sharded_pixel_bank(images, masks,
+                                        pad_cameras(cams, mesh.size), mesh)
+        cfg = dc.replace(PRESETS["cropnerf-tiny"],
+                         train_num_rays_per_batch=128)
+        state = create_train_state(jax.random.PRNGKey(0), cfg, num_images=n)
+        step = make_sharded_train_step(cfg, mesh, donate=False)
+        key = jax.random.PRNGKey(1)
+        losses = []
+        for i in range(30):
+            key, sub = jax.random.split(key)
+            state, m = step(state, bank, sub)
+            losses.append(float(m["loss"]))
+        assert np.all(np.isfinite(losses))
+        assert int(state.step) == 30
+        # training actually reduces the loss on the tiny scene
+        assert np.mean(losses[-5:]) < np.mean(losses[:5])
+        # grads/params stay replicated across the mesh
+        leaf = jax.tree.leaves(state.params)[0]
+        assert leaf.sharding.is_fully_replicated
+
+    def test_trainer_shard_bank_e2e(self, tmp_path):
+        root = write_synthetic_dataset(tmp_path / "ds", n=10, size=16)
+        cfg = dataclasses.replace(PRESETS["cropnerf-tiny"],
+                                  train_num_rays_per_batch=128,
+                                  steps_per_eval_image=10_000,
+                                  steps_per_save=10_000)
+        data_cfg = DataparserConfig(data_dir=root, train_split_fraction=0.8)
+        mesh = jax.sharding.Mesh(np.array(jax.devices()), ("data",))
+        t = Trainer(cfg, data_cfg, tmp_path / "run", mesh=mesh,
+                    shard_bank=True)
+        # 8 train frames over 8 devices, no padding needed
+        assert t.shard_bank and t.bank.num_images == 8
+        metrics = t.train(num_steps=5, log_every=5)
+        assert np.isfinite(metrics["loss"])
+        assert int(t.state.step) == 5

@@ -51,3 +51,22 @@ class TestViewerUncertainty:
                            channel="uncertainty")
         assert img.shape == (24, 24, 3)
         assert np.isfinite(img).all()
+
+    def test_filter_slider_suppresses_density(self):
+        """filter=0 zeroes every sample (all uncertainty > 0) → empty
+        accumulation; filter=1 keeps the unfiltered render (the reference
+        viewer's slider, run_viewer_u.py:49-120)."""
+        cfg = PRESETS["cropnerf-tiny"]
+        params = model_init(jax.random.PRNGKey(0), cfg.model, num_images=2)
+        lod = 3
+        hessian = np.abs(np.random.RandomState(0).randn((2 ** lod + 1) ** 3))
+        render_image = make_model_renderer(params, cfg, size=16, focal=20.0,
+                                           hessian=hessian,
+                                           uncertainty_lod=lod,
+                                           uncertainty_n_samples=10)
+        acc_open = render_image(theta=0.0, phi=0.2, radius=1.2,
+                                channel="accumulation", unc_filter=1.0)
+        acc_shut = render_image(theta=0.0, phi=0.2, radius=1.2,
+                                channel="accumulation", unc_filter=-1.0)
+        assert float(np.abs(acc_shut).max()) == 0.0
+        assert float(acc_open.max()) > 0.0
