@@ -1,33 +1,57 @@
-"""Pending on-chip validations, batched to use a healthy tunnel window."""
+"""Pending on-chip validations, batched to use a healthy tunnel window.
+
+Ordered so the wedge-prone items run LAST (the pallas hash-kernel Mosaic
+compile has wedged the remote AOT service before — never let it block the
+rest).  Completed items move to the log below.
+
+Done (2026-08-18):
+  * remat A/B at the base config: remat=1.335 ms/step, no-remat=0.830
+    ms/step (1.61x) on v5e → base + tiny presets now default remat=False
+    (models/config.py).
+"""
 import time, sys
 sys.path.insert(0, "/root/repo")
-from cropnerf_tpu.utils.cache import enable_compilation_cache
-enable_compilation_cache()
 import numpy as np, jax, jax.numpy as jnp
 
 print("devices:", jax.devices(), flush=True)
 
-# 1. pallas hash kernel on chip
-from cropnerf_tpu.ops.hashgrid import hashgrid_encode, hashgrid_init, level_resolutions
-from cropnerf_tpu.ops.pallas.hash_encode import hashgrid_encode_pallas
-table = hashgrid_init(jax.random.PRNGKey(0), 16, 2, 19)
-res = level_resolutions(16, 16, 2048)
-N = 131072
-pos = jax.random.uniform(jax.random.PRNGKey(1), (N, 3))
+# 1. flagship 600-step convergence mini-smoke (preloaded data)
+from cropnerf_tpu.models.config import PRESETS
+from cropnerf_tpu.train.state import create_train_state
+from cropnerf_tpu.train.step import make_train_step
+from cropnerf_tpu.data.databank import build_pixel_bank
+from cropnerf_tpu.core.cameras import Cameras
 try:
-    f_p = jax.jit(lambda t, p: jnp.sum(hashgrid_encode_pallas(t, p, res, 1024, False)**2))
-    f_x = jax.jit(lambda t, p: jnp.sum(hashgrid_encode(t, p, res)**2))
-    vp = float(f_p(table, pos)); vx = float(f_x(table, pos))
-    print(f"pallas hash COMPILES on TPU: pallas={vp:.4f} xla={vx:.4f} "
-          f"match={abs(vp-vx)/max(abs(vx),1e-9) < 1e-3}", flush=True)
-    for name, f in (("xla", f_x), ("pallas", f_p)):
-        f(table, pos).block_until_ready()
-        t0 = time.perf_counter()
-        for _ in range(20): o = f(table, pos)
-        o.block_until_ready()
-        print(f"hash {name}: {(time.perf_counter()-t0)/20*1e3:.3f} ms", flush=True)
+    dd = np.load("/root/repo/.sphere_data.npz")
+    images, masks, c2w, fx = dd["images"], dd["masks"], dd["c2w"], dd["fx"]
+    n, h, w = images.shape[:3]
+    cams = Cameras(c2w=jnp.asarray(c2w), fx=jnp.asarray(fx), fy=jnp.asarray(fx),
+                   cx=jnp.full((n,), w/2.0), cy=jnp.full((n,), h/2.0),
+                   width=jnp.full((n,), w, jnp.int32),
+                   height=jnp.full((n,), h, jnp.int32))
+    bank = build_pixel_bank(images, masks, cams)
+    cfg = PRESETS["cropnerf"]
+    state = create_train_state(jax.random.PRNGKey(0), cfg, num_images=n)
+    step = make_train_step(cfg)
+    key = jax.random.PRNGKey(1)
+    t0 = time.perf_counter()
+    first_psnr = None
+    for i in range(601):
+        key, sub = jax.random.split(key)
+        state, m = step(state, bank, sub)
+        if i % 10 == 0:
+            jax.block_until_ready(m["loss"])
+        if i % 200 == 0:
+            p = float(m["psnr"])
+            if first_psnr is None:
+                first_psnr = p
+            print(f"step {i}: loss={float(m['loss']):.4f} psnr={p:.2f} "
+                  f"sem={float(m['semantics_loss']):.4f} "
+                  f"t={time.perf_counter()-t0:.1f}s", flush=True)
+    print("CONVERGENCE", "OK" if float(m["psnr"]) > first_psnr + 5 else "WEAK",
+          flush=True)
 except Exception as e:
-    print("pallas hash on TPU FAILED:", str(e)[:300], flush=True)
+    print("convergence smoke FAILED:", str(e)[:300], flush=True)
 
 # 2. pallas transmittance kernel
 from cropnerf_tpu.ops.pallas.transmittance import render_weights_pallas
@@ -38,37 +62,33 @@ try:
     wp = render_weights_pallas(d, dl, tile_r=256)
     wx = render_weights(d, dl)
     ok = bool(jnp.allclose(wp, wx, rtol=1e-4, atol=1e-6))
-    print(f"pallas transmittance COMPILES on TPU, matches xla: {ok}", flush=True)
+    print(f"pallas transmittance COMPILES on TPU, matches xla: {ok}",
+          flush=True)
 except Exception as e:
     print("pallas transmittance FAILED:", str(e)[:300], flush=True)
 
-# 3. flagship 600-step convergence mini-smoke (preloaded data)
-from cropnerf_tpu.models.config import PRESETS
-from cropnerf_tpu.train.state import create_train_state
-from cropnerf_tpu.train.step import make_train_step
-from cropnerf_tpu.data.databank import build_pixel_bank
-from cropnerf_tpu.core.cameras import Cameras
-dd = np.load("/root/repo/.sphere_data.npz")
-images, masks, c2w, fx = dd["images"], dd["masks"], dd["c2w"], dd["fx"]
-n, h, w = images.shape[:3]
-cams = Cameras(c2w=jnp.asarray(c2w), fx=jnp.asarray(fx), fy=jnp.asarray(fx),
-               cx=jnp.full((n,), w/2.0), cy=jnp.full((n,), h/2.0),
-               width=jnp.full((n,), w, jnp.int32), height=jnp.full((n,), h, jnp.int32))
-bank = build_pixel_bank(images, masks, cams)
-cfg = PRESETS["cropnerf"]
-state = create_train_state(jax.random.PRNGKey(0), cfg, num_images=n)
-step = make_train_step(cfg)
-key = jax.random.PRNGKey(1)
-t0 = time.perf_counter()
-first_psnr = None
-for i in range(601):
-    key, sub = jax.random.split(key)
-    state, m = step(state, bank, sub)
-    if i % 10 == 0:
-        jax.block_until_ready(m["loss"])
-    if i % 200 == 0:
-        p = float(m["psnr"])
-        if first_psnr is None: first_psnr = p
-        print(f"step {i}: loss={float(m['loss']):.4f} psnr={p:.2f} "
-              f"sem={float(m['semantics_loss']):.4f} t={time.perf_counter()-t0:.1f}s", flush=True)
-print("CONVERGENCE", "OK" if float(m["psnr"]) > first_psnr + 5 else "WEAK", flush=True)
+# 3. LAST (wedge-prone): pallas hash kernel Mosaic compile + A/B vs XLA
+from cropnerf_tpu.ops.hashgrid import (hashgrid_encode, hashgrid_init,
+                                       level_resolutions)
+from cropnerf_tpu.ops.pallas.hash_encode import hashgrid_encode_pallas
+table = hashgrid_init(jax.random.PRNGKey(0), 16, 2, 19)
+res = level_resolutions(16, 16, 2048)
+N = 131072
+pos = jax.random.uniform(jax.random.PRNGKey(1), (N, 3))
+try:
+    f_p = jax.jit(lambda t, p: jnp.sum(
+        hashgrid_encode_pallas(t, p, res, 1024, False) ** 2))
+    f_x = jax.jit(lambda t, p: jnp.sum(hashgrid_encode(t, p, res) ** 2))
+    vp = float(f_p(table, pos)); vx = float(f_x(table, pos))
+    print(f"pallas hash COMPILES on TPU: pallas={vp:.4f} xla={vx:.4f} "
+          f"match={abs(vp - vx) / max(abs(vx), 1e-9) < 1e-3}", flush=True)
+    for name, f in (("xla", f_x), ("pallas", f_p)):
+        f(table, pos).block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(20):
+            o = f(table, pos)
+        o.block_until_ready()
+        print(f"hash {name}: {(time.perf_counter() - t0) / 20 * 1e3:.3f} ms",
+              flush=True)
+except Exception as e:
+    print("pallas hash on TPU FAILED:", str(e)[:300], flush=True)

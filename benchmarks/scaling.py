@@ -26,6 +26,10 @@ def main() -> None:
     parser.add_argument("--rays-per-device", type=int, default=8192)
     parser.add_argument("--iters", type=int, default=30)
     parser.add_argument("--preset", default="cropnerf")
+    parser.add_argument("--shard-bank", action="store_true",
+                        help="measure the sharded-pixel-bank shard_map step "
+                             "(multi-host data path) instead of the "
+                             "replicated-bank step")
     args = parser.parse_args()
 
     if args.cpu:
@@ -42,10 +46,12 @@ def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     from cropnerf_tpu.core.cameras import Cameras
-    from cropnerf_tpu.data.databank import build_pixel_bank
+    from cropnerf_tpu.data.databank import (build_pixel_bank,
+                                            build_sharded_pixel_bank,
+                                            pad_cameras)
     from cropnerf_tpu.models.config import PRESETS
     from cropnerf_tpu.train.state import create_train_state
-    from cropnerf_tpu.train.step import make_train_step
+    from cropnerf_tpu.train.step import make_sharded_train_step, make_train_step
 
     n_avail = len(jax.devices())
     counts = args.devices or [c for c in (1, 2, 4, 8, 16) if c <= n_avail]
@@ -71,18 +77,28 @@ def main() -> None:
             PRESETS[args.preset],
             train_num_rays_per_batch=args.rays_per_device * n_dev)
         mesh = jax.sharding.Mesh(np.array(jax.devices()[:n_dev]), ("data",))
+        if args.shard_bank:
+            sel = np.arange(((n_img + n_dev - 1) // n_dev) * n_dev) % n_img
+            cams_p = pad_cameras(cams, n_dev)
+            dev_bank = build_sharded_pixel_bank(images[sel], masks[sel],
+                                                cams_p, mesh)
+            n_imgs_eff = cams_p.num_cameras
+            step = make_sharded_train_step(cfg, mesh, donate=False)
+        else:
+            dev_bank = bank
+            n_imgs_eff = n_img
+            step = make_train_step(cfg, mesh=mesh, donate=False)
         state = create_train_state(jax.random.PRNGKey(0), cfg,
-                                   num_images=n_img)
-        step = make_train_step(cfg, mesh=mesh, donate=False)
+                                   num_images=n_imgs_eff)
         key = jax.random.PRNGKey(1)
         for _ in range(3):
             key, sub = jax.random.split(key)
-            state, m = step(state, bank, sub)
+            state, m = step(state, dev_bank, sub)
         jax.block_until_ready(m["loss"])
         t0 = time.perf_counter()
         for _ in range(args.iters):
             key, sub = jax.random.split(key)
-            state, m = step(state, bank, sub)
+            state, m = step(state, dev_bank, sub)
         jax.block_until_ready(m["loss"])
         dt = time.perf_counter() - t0
         rate = args.iters * cfg.train_num_rays_per_batch / dt

@@ -386,6 +386,34 @@ def _cmd_process_labels(args):
     print(f"converted {n} images")
 
 
+def _add_import_colmap(sub):
+    p = sub.add_parser("import-colmap", help="COLMAP sparse model → "
+                       "transforms.json in the 3DCotton layout "
+                       "(≙ the dataset builder's COLMAP step, "
+                       "fruit_nerf_dataset.py:342-378)")
+    p.add_argument("--colmap-dir", type=Path, required=True,
+                   help="dir holding cameras.txt/.bin + images.txt/.bin")
+    p.add_argument("--output", type=Path, required=True,
+                   help="transforms.json path to write")
+    p.add_argument("--images-rel-dir", default="images")
+    p.add_argument("--semantic-rel-dir", default=None,
+                   help="inject per-frame semantic_path under this dir")
+    p.add_argument("--semantic-ext", default=None,
+                   help="override the semantic file extension (e.g. .png)")
+    p.add_argument("--semantic-classes", nargs="*", default=None)
+
+
+def _cmd_import_colmap(args):
+    from .data.colmap import colmap_to_transforms
+    meta = colmap_to_transforms(
+        args.colmap_dir, args.output,
+        images_rel_dir=args.images_rel_dir,
+        semantic_rel_dir=args.semantic_rel_dir,
+        semantic_classes=args.semantic_classes,
+        semantic_ext=args.semantic_ext)
+    print(f"wrote {args.output} ({len(meta['frames'])} frames)")
+
+
 def main(argv=None):
     # Platform override: some TPU plugins (axon) ignore JAX_PLATFORMS from
     # the environment; CROPNERF_PLATFORM=cpu|tpu forces it through
@@ -400,7 +428,7 @@ def main(argv=None):
     for add in (_add_train, _add_export, _add_segment, _add_project,
                 _add_count, _add_depth_project, _add_depth_count,
                 _add_render, _add_uncertainty, _add_viewer,
-                _add_process_labels):
+                _add_process_labels, _add_import_colmap):
         add(sub)
     args = parser.parse_args(argv)
     {
@@ -415,6 +443,7 @@ def main(argv=None):
         "depth-count": _cmd_depth_count,
         "viewer": _cmd_viewer,
         "process-labels": _cmd_process_labels,
+        "import-colmap": _cmd_import_colmap,
     }[args.command](args)
 
 

@@ -191,8 +191,11 @@ def train_config_from_dict(d: dict) -> "TrainConfig":
 
 
 PRESETS = {
-    # ≙ fruit_nerf (fruit_nerf_config.py:29-65)
-    "cropnerf": TrainConfig(),
+    # ≙ fruit_nerf (fruit_nerf_config.py:29-65).  remat off: at 4096 rays ×
+    # ~400 samples the stored activations fit HBM comfortably and skipping
+    # the backward recompute is 1.61x faster on v5e (measured 2026-08-18:
+    # 0.830 vs 1.335 ms/step); -big/-huge keep remat for memory headroom.
+    "cropnerf": TrainConfig(model=ModelConfig(remat=False)),
     # ≙ fruit_nerf_big (:68-119)
     "cropnerf-big": TrainConfig(
         model=_big_model(), max_num_iterations=100_000,
@@ -221,6 +224,7 @@ PRESETS = {
             num_nerf_samples_per_ray=16,
             num_proposal_samples_per_ray=(32,),
             proposal_weights_anneal_max_num_iters=50,
+            remat=False,
         ),
         max_num_iterations=200, train_num_rays_per_batch=256,
         eval_num_rays_per_batch=256, eval_num_rays_per_chunk=1024),

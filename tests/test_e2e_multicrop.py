@@ -67,11 +67,16 @@ class TestTwoCropPipeline:
         tmp = tmp_path_factory.mktemp("two_crop")
 
         aabb = np.array([[-0.7, -0.5, -0.5], [0.7, 0.5, 0.5]], np.float32)
+        # density >= 60: the tiny model keeps residual fog between the
+        # spheres whose exact level varies with XLA reduction order (1 vs 8
+        # virtual devices); at 30 the fog can DBSCAN-bridge the two spheres
+        # into one supercluster (root-caused 2026-08-18), at 60 they separate
+        # across environments.
         clouds = sample_volume(state.params, cfg.model, aabb,
                                num_points_per_side=28, rays_per_batch=128,
                                num_samples=28,
                                semantic_threshold=3.0,
-                               density_threshold=30.0,
+                               density_threshold=60.0,
                                colormap_threshold=0.98)
         pts = clouds["semantic"].points
         assert len(pts) > 100, len(pts)
