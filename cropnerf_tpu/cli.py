@@ -38,6 +38,16 @@ def _add_train(sub):
     p.add_argument("--experiment-name", default="cropnerf")
     p.add_argument("--multichip", action="store_true",
                    help="shard rays over all local devices")
+    p.add_argument("--shard-bank", action="store_true",
+                   help="with --multichip: shard the pixel bank over the "
+                        "mesh (per-device local ray sampling; the multi-host "
+                        "data path, auto-enabled on pods)")
+    p.add_argument("--rays-per-batch", type=int, default=None,
+                   help="override the preset's train ray batch")
+    p.add_argument("--remat", choices=["on", "off"], default=None,
+                   help="override activation rematerialisation (default: "
+                        "preset choice — off for the base config, on for "
+                        "-big/-huge; turn on for very large ray batches)")
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in --output")
 
@@ -51,7 +61,15 @@ def _cmd_train(args):
     if args.method not in PRESETS:
         raise SystemExit(f"unknown method {args.method!r}; available: "
                          f"{', '.join(sorted(PRESETS))}")
+    import dataclasses
     cfg = PRESETS[args.method]
+    if args.rays_per_batch is not None:
+        cfg = dataclasses.replace(cfg,
+                                  train_num_rays_per_batch=args.rays_per_batch)
+    if args.remat is not None:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model,
+                                           remat=args.remat == "on"))
     data_cfg = DataparserConfig(
         data_dir=args.data, semantic_dir=args.semantic_dir,
         train_split_fraction=args.train_split_fraction)
@@ -60,7 +78,8 @@ def _cmd_train(args):
         mesh = jax.sharding.Mesh(np.array(jax.devices()), ("data",))
     trainer = Trainer(cfg, data_cfg, args.output, mesh=mesh,
                       experiment_name=args.experiment_name,
-                      resume=args.resume)
+                      resume=args.resume,
+                      shard_bank=args.shard_bank or None)
     trainer.install_signal_handlers()
     metrics = trainer.train(num_steps=args.max_steps)
     print(json.dumps({k: v for k, v in metrics.items()}, default=float))
