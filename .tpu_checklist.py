@@ -8,6 +8,15 @@ Done (2026-08-18):
   * remat A/B at the base config: remat=1.335 ms/step, no-remat=0.830
     ms/step (1.61x) on v5e → base + tiny presets now default remat=False
     (models/config.py).
+
+Pending:
+  * steps_per_dispatch (lax.scan) A/B with FULL final-state
+    materialisation.  A first A/B (block on last loss only) measured
+    0.750 ms/step per-step vs 0.016 ms/step scanned-50 — 47x is below
+    compute roofline, so treat it as an async-timing artifact of the
+    remote runtime until /tmp/scan_ab2.py-style (block on params) numbers
+    exist.  The wiring (make_train_step(num_inner), Trainer
+    steps_per_dispatch) is CPU-tested.
 """
 import time, sys
 sys.path.insert(0, "/root/repo")

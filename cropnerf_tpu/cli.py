@@ -48,6 +48,11 @@ def _add_train(sub):
                    help="override activation rematerialisation (default: "
                         "preset choice — off for the base config, on for "
                         "-big/-huge; turn on for very large ray batches)")
+    p.add_argument("--steps-per-dispatch", type=int, default=1,
+                   help="fuse K optimizer steps into one XLA dispatch "
+                        "(lax.scan); keeps training compute-bound when "
+                        "host dispatch latency rivals the step time. "
+                        "Cadences (log/eval/save) must be multiples of K")
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in --output")
 
@@ -79,7 +84,8 @@ def _cmd_train(args):
     trainer = Trainer(cfg, data_cfg, args.output, mesh=mesh,
                       experiment_name=args.experiment_name,
                       resume=args.resume,
-                      shard_bank=args.shard_bank or None)
+                      shard_bank=args.shard_bank or None,
+                      steps_per_dispatch=args.steps_per_dispatch)
     trainer.install_signal_handlers()
     metrics = trainer.train(num_steps=args.max_steps)
     print(json.dumps({k: v for k, v in metrics.items()}, default=float))

@@ -71,12 +71,19 @@ def compute_losses(params: Dict, outputs: Dict, rgb_gt: jnp.ndarray,
 
 
 def make_train_step(cfg: TrainConfig, mesh: Optional[jax.sharding.Mesh] = None,
-                    donate: bool = True):
+                    donate: bool = True, num_inner: int = 1):
     """Build the jitted train step.
 
     Returns ``train_step(state, bank, key) -> (state, metrics)``.
     If ``mesh`` is given (1-D axis ``data``), the ray batch is shard-annotated
     over it; otherwise single-device.
+
+    ``num_inner > 1`` runs that many optimizer steps inside ONE XLA program
+    via ``lax.scan`` (metrics are the last inner step's).  Host→device
+    dispatch happens once per ``num_inner`` steps — on setups where dispatch
+    latency rivals the sub-millisecond step this is the difference between
+    host-bound and compute-bound training.  The reference dispatches every
+    step from Python (nerfstudio Trainer loop, SURVEY §3.1).
     """
     tx = make_optimizer(cfg)
     m = cfg.model
@@ -106,8 +113,8 @@ def make_train_step(cfg: TrainConfig, mesh: Optional[jax.sharding.Mesh] = None,
         aux["psnr"] = metric_ops.psnr(outputs["rgb"], rgb_gt)
         return loss, aux
 
-    def train_step(state: TrainState, bank: PixelBank, key: jax.Array
-                   ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    def one_step(state: TrainState, bank: PixelBank, key: jax.Array
+                 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         key_idx, key_model = jax.random.split(key)
         idx = jax.random.randint(key_idx, (R,), 0, bank.num_pixels)
         idx = shard_rays(idx)
@@ -118,6 +125,18 @@ def make_train_step(cfg: TrainConfig, mesh: Optional[jax.sharding.Mesh] = None,
         params = optax.apply_updates(state.params, updates)
         return state.replace(params=params, opt_state=opt_state,
                              step=state.step + 1), aux
+
+    if num_inner == 1:
+        train_step = one_step
+    else:
+        def train_step(state: TrainState, bank: PixelBank, key: jax.Array
+                       ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+            def scan_fn(st, k):
+                return one_step(st, bank, k)
+
+            state, auxs = jax.lax.scan(scan_fn, state,
+                                       jax.random.split(key, num_inner))
+            return state, jax.tree.map(lambda a: a[-1], auxs)
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 

@@ -51,7 +51,8 @@ class Trainer:
     def __init__(self, cfg: TrainConfig, data_config: DataparserConfig,
                  output_dir: Path, mesh: Optional[jax.sharding.Mesh] = None,
                  experiment_name: str = "cropnerf", resume: bool = False,
-                 shard_bank: Optional[bool] = None):
+                 shard_bank: Optional[bool] = None,
+                 steps_per_dispatch: int = 1):
         from ..utils.cache import enable_compilation_cache
         enable_compilation_cache()
         self.cfg = cfg
@@ -80,11 +81,25 @@ class Trainer:
         key = jax.random.PRNGKey(cfg.seed)
         self.state: TrainState = create_train_state(
             key, cfg, num_images=self.bank.num_images)
+        # steps_per_dispatch > 1 fuses that many optimizer steps into one
+        # XLA program (lax.scan) — one host→device dispatch per chunk, so
+        # training stays compute-bound even when dispatch latency rivals the
+        # sub-millisecond step. Logging/eval/save cadences must align.
+        k = int(steps_per_dispatch)
+        assert k >= 1
+        for name, cadence in (("steps_per_eval_batch", cfg.steps_per_eval_batch),
+                              ("steps_per_eval_image", cfg.steps_per_eval_image),
+                              ("steps_per_save", cfg.steps_per_save)):
+            assert cadence % k == 0, (
+                f"{name}={cadence} must be a multiple of "
+                f"steps_per_dispatch={k}")
+        self.steps_per_dispatch = k
         if self.shard_bank:
             from .step import make_sharded_train_step
+            assert k == 1, "steps_per_dispatch>1 not wired for sharded banks"
             self.train_step = make_sharded_train_step(cfg, mesh)
         else:
-            self.train_step = make_train_step(cfg, mesh=mesh)
+            self.train_step = make_train_step(cfg, mesh=mesh, num_inner=k)
         self.eval_batch_fn = make_eval_batch_fn(cfg)
         self.render = make_render_fn(cfg)
         self._loop_key = jax.random.PRNGKey(cfg.seed + 1)
@@ -233,17 +248,23 @@ class Trainer:
               log_every: int = 100) -> Dict[str, float]:
         cfg = self.cfg
         total = num_steps or cfg.max_num_iterations
+        k = self.steps_per_dispatch
+        assert total % k == 0, (f"num_steps={total} must be a multiple of "
+                                f"steps_per_dispatch={k}")
+        assert log_every % k == 0 or k == 1, (
+            f"log_every={log_every} must be a multiple of "
+            f"steps_per_dispatch={k}")
         last_metrics: Dict[str, float] = {}
         t0 = time.perf_counter()
         rays_done = 0
-        for i in range(total):
+        for i in range(total // k):
             if self._stop_requested:
                 break
             self._loop_key, sub = jax.random.split(self._loop_key)
             self.state, metrics = self.train_step(self.state, self.bank, sub)
-            rays_done += cfg.train_num_rays_per_batch
+            rays_done += cfg.train_num_rays_per_batch * k
             step = int(self.state.step)
-            if step % log_every == 0 or i == total - 1:
+            if step % log_every == 0 or i == total // k - 1:
                 m = {k: float(v) for k, v in metrics.items()}
                 dt = time.perf_counter() - t0
                 m["rays_per_s"] = rays_done / max(dt, 1e-9)

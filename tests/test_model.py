@@ -184,3 +184,30 @@ class TestGradientScaling:
         n_on = sum(float(jnp.abs(g).sum()) for g in jax.tree.leaves(g_on))
         assert n_on < n_off            # all sample distances < 1 → damped
         assert n_on > 0.0              # but gradients still flow
+
+
+class TestScannedTrainStep:
+    """num_inner > 1 fuses K optimizer steps into one XLA program
+    (lax.scan); the step counter advances by K and training still learns."""
+
+    def test_scan_matches_step_count_and_learns(self):
+        import dataclasses as dc
+        from cropnerf_tpu.data.databank import build_pixel_bank
+        from cropnerf_tpu.train.state import create_train_state
+        from synthetic import render_synthetic_images, ring_cameras
+        cfg = dc.replace(PRESETS["cropnerf-tiny"],
+                         train_num_rays_per_batch=128)
+        cams = ring_cameras(n=4, height=16, width=16, focal=20.0)
+        images, masks = render_synthetic_images(cams, 16, 16)
+        bank = build_pixel_bank(images, masks, cams)
+        state = create_train_state(jax.random.PRNGKey(0), cfg, num_images=4)
+        step = make_train_step(cfg, donate=False, num_inner=5)
+        key = jax.random.PRNGKey(1)
+        losses = []
+        for _ in range(8):                       # 40 optimizer steps
+            key, sub = jax.random.split(key)
+            state, m = step(state, bank, sub)
+            losses.append(float(m["loss"]))
+        assert int(state.step) == 40
+        assert np.all(np.isfinite(losses))
+        assert losses[-1] < losses[0]

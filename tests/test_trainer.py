@@ -213,3 +213,28 @@ class TestShardedBank:
         metrics = t.train(num_steps=5, log_every=5)
         assert np.isfinite(metrics["loss"])
         assert int(t.state.step) == 5
+
+
+class TestStepsPerDispatch:
+    def test_chunked_dispatch_trains(self, tmp_path):
+        """steps_per_dispatch=5: 20 steps in 4 XLA dispatches; counter and
+        cadences line up."""
+        root = write_synthetic_dataset(tmp_path / "ds")
+        cfg = dataclasses.replace(PRESETS["cropnerf-tiny"],
+                                  train_num_rays_per_batch=64,
+                                  steps_per_eval_batch=10,
+                                  steps_per_eval_image=10_000,
+                                  steps_per_save=10_000)
+        data_cfg = DataparserConfig(data_dir=root, train_split_fraction=0.8)
+        t = Trainer(cfg, data_cfg, tmp_path / "run", steps_per_dispatch=5)
+        metrics = t.train(num_steps=20, log_every=10)
+        assert int(t.state.step) == 20
+        assert np.isfinite(metrics["loss"])
+
+    def test_misaligned_cadence_rejected(self, tmp_path):
+        root = write_synthetic_dataset(tmp_path / "ds")
+        cfg = dataclasses.replace(PRESETS["cropnerf-tiny"],
+                                  steps_per_save=7)   # not a multiple of 5
+        data_cfg = DataparserConfig(data_dir=root, train_split_fraction=0.8)
+        with pytest.raises(AssertionError):
+            Trainer(cfg, data_cfg, tmp_path / "run", steps_per_dispatch=5)
