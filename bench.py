@@ -5,6 +5,14 @@ preset on one chip, end-to-end (pixel sampling + ray gen + proposal sampling
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N}
 
+The measurement uses the fused-dispatch step (``num_inner=20`` optimizer
+steps per XLA program, train/step.py) so Python dispatch latency — which on
+a 2-vCPU host rivals the sub-millisecond step itself — is amortised 20x and
+the number reflects device time, not host contention.
+
+``python bench.py --breakdown`` additionally prints a step-time breakdown
+(full step / no-optimizer / forward-only) to stderr.
+
 Baseline anchor: the reference publishes no numbers (BASELINE.md); the
 denominator used here is 100_000 rays/s — a representative nerfstudio
 nerfacto-class training throughput for the reference's single-GPU docker
@@ -13,26 +21,19 @@ setup (README.md:75) at the same base config (4096 rays × ~400 samples/ray).
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
 
 BASELINE_RAYS_PER_S = 100_000.0
+NUM_INNER = 20
 
 
-def main() -> None:
-    from cropnerf_tpu.utils.cache import enable_compilation_cache
-    enable_compilation_cache()
-    import jax
+def _make_bank():
     import jax.numpy as jnp
     from cropnerf_tpu.core.cameras import Cameras
     from cropnerf_tpu.data.databank import build_pixel_bank
-    from cropnerf_tpu.models.config import PRESETS
-    from cropnerf_tpu.train.state import create_train_state
-    from cropnerf_tpu.train.step import make_train_step
-
-    cfg = PRESETS["cropnerf"]
-    R = cfg.train_num_rays_per_batch
 
     # synthetic bank with realistic shapes (n images at ~1200x800)
     n_img, h, w = 32, 800, 1200
@@ -47,39 +48,163 @@ def main() -> None:
         cx=jnp.full((n_img,), w / 2.0), cy=jnp.full((n_img,), h / 2.0),
         width=jnp.full((n_img,), w, jnp.int32),
         height=jnp.full((n_img,), h, jnp.int32))
-    bank = build_pixel_bank(images, masks, cams)
+    return build_pixel_bank(images, masks, cams), n_img
 
-    def measure():
-        state = create_train_state(jax.random.PRNGKey(0), cfg,
-                                   num_images=n_img)
-        step = make_train_step(cfg)
-        key = jax.random.PRNGKey(1)
-        for _ in range(3):
-            key, sub = jax.random.split(key)
-            state_, metrics = step(state, bank, sub)
-            state = state_
-        jax.block_until_ready(metrics["loss"])
-        iters = 50
+
+def _time_step(step, state, bank, warmup=2, iters=10, repeats=3):
+    """Wall time per fused dispatch (NUM_INNER steps each).
+
+    Chains ``iters`` dispatches (each depends on the previous state) and
+    forces ONE value transfer at the end — ``device_get`` of the final
+    metrics can only complete after the whole chain executed, so the
+    measurement is sound even where ``block_until_ready`` returns early
+    (observed through the axon remote tunnel).  Best of ``repeats``.
+    """
+    import jax
+    key = jax.random.PRNGKey(1)
+    for _ in range(warmup):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, bank, sub)
+    float(jax.device_get(metrics["loss"]))
+    best = float("inf")
+    for _ in range(repeats):
         t0 = time.perf_counter()
         for _ in range(iters):
             key, sub = jax.random.split(key)
             state, metrics = step(state, bank, sub)
-        jax.block_until_ready(metrics["loss"])
-        return iters * R / (time.perf_counter() - t0)
+        loss = float(jax.device_get(metrics["loss"]))
+        best = min(best, (time.perf_counter() - t0) / iters)
+        assert np.isfinite(loss), loss
+    return best, state
 
-    rays_per_s = measure()
+
+def measure(cfg, bank, n_img):
+    import jax
+    from cropnerf_tpu.train.state import create_train_state
+    from cropnerf_tpu.train.step import make_train_step
+
+    state = create_train_state(jax.random.PRNGKey(0), cfg, num_images=n_img)
+    step = make_train_step(cfg, num_inner=NUM_INNER)
+    dt, _ = _time_step(step, state, bank)
+    ms_per_step = dt / NUM_INNER * 1e3
+    rays_per_s = cfg.train_num_rays_per_batch * NUM_INNER / dt
+    return rays_per_s, ms_per_step
+
+
+def breakdown(cfg, bank, n_img):
+    """Step-time breakdown to stderr: full / no-opt (SGD) / forward-only."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    from cropnerf_tpu.core.cameras import generate_rays, near_far_collider
+    from cropnerf_tpu.core.rays import RayBundle
+    from cropnerf_tpu.data.databank import decode_pixel_index
+    from cropnerf_tpu.models.model import forward
+    from cropnerf_tpu.train.state import create_train_state
+    from cropnerf_tpu.train.step import make_train_step
+
+    state = create_train_state(jax.random.PRNGKey(0), cfg, num_images=n_img)
+    rows = {}
+
+    full = make_train_step(cfg, donate=False, num_inner=NUM_INNER)
+    dt, _ = _time_step(full, state, bank)
+    rows["full step (fwd+bwd+adam)"] = dt / NUM_INNER * 1e3
+
+    sgd_cfg = dataclasses.replace(cfg)  # same model; optimizer cost isolated
+    import optax
+
+    from cropnerf_tpu.train import state as state_mod
+    from cropnerf_tpu.train import step as step_mod
+    # step.py/state.py bind the name at import; patch both so the train
+    # state's opt_state matches the swapped transform
+    origs = (step_mod.make_optimizer, state_mod.make_optimizer)
+    step_mod.make_optimizer = state_mod.make_optimizer = \
+        lambda c: optax.sgd(1e-3)
+    try:
+        sgd_state = state_mod.create_train_state(jax.random.PRNGKey(0),
+                                                 sgd_cfg, num_images=n_img)
+        nopt = step_mod.make_train_step(sgd_cfg, donate=False,
+                                        num_inner=NUM_INNER)
+        dt, _ = _time_step(nopt, sgd_state, bank)
+        rows["fwd+bwd+sgd (adam cost isolated)"] = dt / NUM_INNER * 1e3
+    finally:
+        step_mod.make_optimizer, state_mod.make_optimizer = origs
+
+    R = cfg.train_num_rays_per_batch
+    m = cfg.model
+
+    def fwd_only(params, bank, key):
+        def one(carry, k):
+            k_idx, k_m = jax.random.split(k)
+            idx = jax.random.randint(k_idx, (R,), 0, bank.num_pixels)
+            cam, px, py = decode_pixel_index(idx, bank.height, bank.width)
+            origins, dirs = generate_rays(bank.cameras, cam, px, py)
+            rb = RayBundle(origins=origins, directions=dirs,
+                           nears=jnp.zeros((R,)), fars=jnp.ones((R,)),
+                           camera_idx=cam)
+            rb = near_far_collider(rb, m.near_plane, m.far_plane)
+            out = forward(params, rb, m, key=k_m, train=True)
+            return carry + jnp.mean(out["rgb"]), None
+
+        acc, _ = jax.lax.scan(lambda c, k: one(c, k), 0.0,
+                              jax.random.split(key, NUM_INNER))
+        return acc
+
+    fwd_jit = jax.jit(fwd_only)
+    key = jax.random.PRNGKey(1)
+    for _ in range(2):
+        key, sub = jax.random.split(key)
+        out = fwd_jit(state.params, bank, sub)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(10):
+        key, sub = jax.random.split(key)
+        t0 = time.perf_counter()
+        out = fwd_jit(state.params, bank, sub)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    rows["forward only"] = float(np.median(times)) / NUM_INNER * 1e3
+
+    print("step-time breakdown (ms/step, base preset, "
+          f"{cfg.train_num_rays_per_batch} rays):", file=sys.stderr)
+    for k, v in rows.items():
+        print(f"  {k:38s} {v:7.3f}", file=sys.stderr)
+    return rows
+
+
+def main() -> None:
+    from cropnerf_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    import jax
+    from cropnerf_tpu.models.config import PRESETS
+
+    cfg = PRESETS["cropnerf"]
+    bank, n_img = _make_bank()
+
+    if "--breakdown" in sys.argv:
+        breakdown(cfg, bank, n_img)
+        return
+
+    rays_per_s, ms = measure(cfg, bank, n_img)
     # The remote AOT compile service nondeterministically emits slow
     # executables for the same program — usually mildly slow (~2x), rarely
     # pathologically (~1000x; see CLAUDE.md).  Always take the best of two
     # independent compiles, and keep retrying while the result is
     # implausibly low for this step.
     jax.clear_caches()
-    rays_per_s = max(rays_per_s, measure())
+    r2, ms2 = measure(cfg, bank, n_img)
+    if r2 > rays_per_s:
+        rays_per_s, ms = r2, ms2
     retries = 0
-    while rays_per_s < 500_000 and retries < 2:
+    while rays_per_s < 1_000_000 and retries < 2:
         jax.clear_caches()
-        rays_per_s = max(rays_per_s, measure())
+        r2, ms2 = measure(cfg, bank, n_img)
+        if r2 > rays_per_s:
+            rays_per_s, ms = r2, ms2
         retries += 1
+    print(f"ms/step: {ms:.3f} (fused dispatch, num_inner={NUM_INNER})",
+          file=sys.stderr)
     print(json.dumps({
         "metric": "train_rays_per_s_single_chip",
         "value": round(rays_per_s, 1),

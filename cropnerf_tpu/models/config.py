@@ -22,6 +22,11 @@ class HashGridConfig:
     # "xla" (default; gathers at roofline on v5e) or "pallas" (fused
     # VMEM-resident kernel, ops/pallas/hash_encode.py)
     impl: str = "xla"
+    # "packed" (tcnn parity: dense coarse levels allocate exactly (res+1)^3
+    # rows — the base field table shrinks 16.8M → 12.2M params, cutting
+    # optimizer/scatter HBM traffic ~27%) or "dense" ([L, T, F]; required
+    # by impl="pallas")
+    layout: str = "packed"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -40,6 +45,10 @@ class FieldConfig:
     num_layers_semantic: int = 2
     hidden_dim_semantics: int = 64
     num_semantic_classes: int = 1
+    # "xla" (each layer one MXU matmul, XLA-fused) or "pallas" (fully-fused
+    # kernel, activations resident in VMEM — ops/pallas/fused_mlp.py); A/B'd
+    # on v5e in benchmarks/README.md
+    mlp_impl: str = "xla"
     appearance_embedding_dim: int = 32
     use_average_appearance_embedding: bool = True
     sh_levels: int = 4
@@ -83,6 +92,10 @@ class ModelConfig:
     proposal_weights_anneal_max_num_iters: int = 1000
     proposal_update_every: int = 5
     proposal_warmup: int = 5000
+    # skip the proposal-net backward on non-update steps via lax.cond
+    # (≙ nerfstudio's no_grad between update steps, fruit_nerf.py:144-149);
+    # gradient-identical to gating the interlevel loss, cheaper
+    proposal_no_grad_schedule: bool = True
     interlevel_loss_mult: float = 1.0
     distortion_loss_mult: float = 0.002
     semantic_loss_weight: float = 1.0
@@ -117,15 +130,25 @@ class TrainConfig:
     eval_num_rays_per_chunk: int = 1 << 15
     steps_per_eval_batch: int = 500
     steps_per_eval_image: int = 500
+    # full-eval pass over every eval image (≙ get_average_eval_image_metrics
+    # cadence, nerfstudio steps_per_eval_all_images default; also runs at
+    # train end, fruit_pipeline.py:178-229)
+    steps_per_eval_all_images: int = 25_000
     steps_per_save: int = 2000
-    # optimizer (fruit_nerf_config.py:45-60)
+    # optimizer (fruit_nerf_config.py:45-60; big/huge :100-114,158-166)
     optimizer: str = "adam"                 # "adam" | "radam"
-    learning_rate: float = 1e-2
+    learning_rate: float = 1e-2             # "fields" group
     adam_eps: float = 1e-15
-    lr_final: float = 1e-4
+    lr_final: Optional[float] = 1e-4        # None → constant lr
     lr_decay_max_steps: int = 200_000
+    prop_learning_rate: float = 1e-2        # "proposal_networks" group
+    prop_lr_final: Optional[float] = 1e-4
+    prop_lr_decay_max_steps: int = 200_000
+    camera_opt_optimizer: str = "adam"      # huge uses radam (:133-137)
     camera_opt_lr: float = 1e-3
-    camera_opt_lr_final: float = 1e-4
+    camera_opt_eps: float = 1e-15
+    camera_opt_weight_decay: float = 0.0
+    camera_opt_lr_final: Optional[float] = 1e-4
     camera_opt_decay_steps: int = 5000
     seed: int = 42
 
@@ -135,6 +158,7 @@ def _big_model() -> ModelConfig:
         field=FieldConfig(
             grid=HashGridConfig(log2_hashmap_size=21, max_res=4096),
             hidden_dim=128, hidden_dim_color=128, hidden_dim_semantics=128,
+            num_layers_semantic=3, appearance_embedding_dim=128,
             geo_feat_dim=30),
         proposal_fields=(
             ProposalFieldConfig(grid=HashGridConfig(num_levels=5, log2_hashmap_size=17, max_res=128)),
@@ -150,8 +174,8 @@ def _huge_model() -> ModelConfig:
     return ModelConfig(
         field=FieldConfig(
             grid=HashGridConfig(log2_hashmap_size=21, max_res=8192),
-            hidden_dim=256, hidden_dim_color=256, hidden_dim_semantics=256,
-            geo_feat_dim=30),
+            hidden_dim=256, hidden_dim_color=256, hidden_dim_semantics=128,
+            num_layers_semantic=3, geo_feat_dim=30),
         proposal_fields=(
             ProposalFieldConfig(grid=HashGridConfig(num_levels=5, log2_hashmap_size=17, max_res=512),
                                 hidden_dim=16),
@@ -196,16 +220,21 @@ PRESETS = {
     # the backward recompute is 1.61x faster on v5e (measured 2026-08-18:
     # 0.830 vs 1.335 ms/step); -big/-huge keep remat for memory headroom.
     "cropnerf": TrainConfig(model=ModelConfig(remat=False)),
-    # ≙ fruit_nerf_big (:68-119)
+    # ≙ fruit_nerf_big (:68-119): RAdam, prop nets at constant lr
+    # (scheduler=None, :101-103), fields decay to 1e-4 over 50k (:104-106)
     "cropnerf-big": TrainConfig(
         model=_big_model(), max_num_iterations=100_000,
         train_num_rays_per_batch=8192, eval_num_rays_per_batch=4096,
-        optimizer="radam"),
-    # ≙ fruit_nerf_huge (:121-172)
+        optimizer="radam", lr_decay_max_steps=50_000, prop_lr_final=None),
+    # ≙ fruit_nerf_huge (:121-172): as big, plus RAdam camera-opt with
+    # weight decay (fruit_nerf_config.py:133-137)
     "cropnerf-huge": TrainConfig(
         model=_huge_model(), max_num_iterations=100_000,
         train_num_rays_per_batch=16384, eval_num_rays_per_batch=4096,
-        optimizer="radam"),
+        optimizer="radam", lr_decay_max_steps=50_000, prop_lr_final=None,
+        camera_opt_optimizer="radam", camera_opt_lr=6e-4,
+        camera_opt_eps=1e-8, camera_opt_weight_decay=1e-3,
+        camera_opt_lr_final=6e-5, camera_opt_decay_steps=50_000),
     # ≙ the legacy positional-encoding SemanticNeRFField variant
     # (fruit_field.py:311-411, FruitModelMLP stub fruit_nerf.py:705-706)
     "semantic-nerf": TrainConfig(

@@ -24,7 +24,8 @@ import jax.numpy as jnp
 
 from ..core import spatial
 from ..ops.activations import trunc_exp
-from ..ops.hashgrid import hashgrid_encode, hashgrid_init, level_resolutions
+from ..ops.hashgrid import (hashgrid_encode, hashgrid_init,
+                            hashgrid_init_packed, level_resolutions)
 from ..ops.mlp import mlp_apply, mlp_init
 from ..ops.sh import sh_encoding
 from .config import FieldConfig
@@ -38,9 +39,14 @@ def field_init(key: jax.Array, cfg: FieldConfig, num_images: int) -> Dict:
     g = cfg.grid
     grid_dim = g.num_levels * g.features_per_level
     color_in = cfg.sh_levels ** 2 + cfg.geo_feat_dim + cfg.appearance_embedding_dim
+    res = level_resolutions(g.num_levels, g.min_res, g.max_res)
+    grid = (hashgrid_init_packed(k_grid, res, g.features_per_level,
+                                 g.log2_hashmap_size)
+            if g.layout == "packed"
+            else hashgrid_init(k_grid, g.num_levels, g.features_per_level,
+                               g.log2_hashmap_size))
     return {
-        "grid": hashgrid_init(k_grid, g.num_levels, g.features_per_level,
-                              g.log2_hashmap_size),
+        "grid": grid,
         "mlp_base": mlp_init(k_base, grid_dim, cfg.hidden_dim,
                              1 + cfg.geo_feat_dim, cfg.num_layers),
         "mlp_semantic": mlp_init(k_sem, cfg.geo_feat_dim,
@@ -78,11 +84,13 @@ def field_density(params: Dict, positions: jnp.ndarray, cfg: FieldConfig,
     res = level_resolutions(cfg.grid.num_levels, cfg.grid.min_res,
                             cfg.grid.max_res)
     if cfg.grid.impl == "pallas":
+        assert params["grid"].ndim == 3, "impl='pallas' needs layout='dense'"
         from ..ops.pallas.hash_encode import hashgrid_encode_pallas
         feats = hashgrid_encode_pallas(params["grid"], unit, res)
     else:
-        feats = hashgrid_encode(params["grid"], unit, res)
-    h = mlp_apply(params["mlp_base"], feats)
+        feats = hashgrid_encode(params["grid"], unit, res,
+                                table_size=2 ** cfg.grid.log2_hashmap_size)
+    h = mlp_apply(params["mlp_base"], feats, impl=cfg.mlp_impl)
     density_raw, geo = h[..., 0], h[..., 1:]
     density = trunc_exp(density_raw) * selector
     return density, geo
@@ -98,7 +106,7 @@ def field_semantics(params: Dict, geo: jnp.ndarray, cfg: FieldConfig,
         return vanilla_field_semantics(params, geo, cfg, pass_gradients)
     if not pass_gradients:
         geo = jax.lax.stop_gradient(geo)
-    h = mlp_apply(params["mlp_semantic"], geo)
+    h = mlp_apply(params["mlp_semantic"], geo, impl=cfg.mlp_impl)
     return mlp_apply(params["semantic_head"], h)
 
 
@@ -131,4 +139,4 @@ def field_rgb(params: Dict, geo: jnp.ndarray, directions: jnp.ndarray,
 
     h = jnp.concatenate([sh, geo, app], axis=-1)
     return mlp_apply(params["mlp_color"], h,
-                     output_activation=jax.nn.sigmoid)
+                     output_activation=jax.nn.sigmoid, impl=cfg.mlp_impl)

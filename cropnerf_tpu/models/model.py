@@ -53,11 +53,22 @@ def anneal_factor(step: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
 def _proposal_sampling(params: Dict, rb: RayBundle, cfg: ModelConfig,
                        key: Optional[jax.Array], train: bool,
                        anneal: jnp.ndarray | float,
+                       prop_update: Optional[jnp.ndarray] = None,
+                       density_hook=None,
                        ) -> Tuple[RaySamples, List[jnp.ndarray], List[jnp.ndarray]]:
     """Hierarchical proposal sampling (nerfstudio ProposalNetworkSampler).
 
     Returns (final RaySamples, weights_list, sdist_list) where the lists hold
     one entry per proposal level (final level appended by the caller).
+
+    ``prop_update`` (traced bool scalar): the proposal update schedule
+    (fruit_nerf.py:144-149 / nerfstudio's no_grad between update steps).
+    When False, the proposal evals run with stopped gradients inside a
+    ``lax.cond`` — gradient-IDENTICAL to gating the interlevel loss to zero
+    (the only grad path into the prop nets; sampling already uses
+    ``stop_gradient(weights)``) but the expensive prop backward (gather
+    transpose + MLP vjp over 256+96 samples/ray) is skipped entirely on
+    non-update steps.
     """
     spacing = pdf_ops.spacing_piecewise()
     n_prop = cfg.num_proposal_iterations
@@ -76,7 +87,21 @@ def _proposal_sampling(params: Dict, rb: RayBundle, cfg: ModelConfig,
             return proposal_density(p, x, cfg.proposal_fields[_i])
         if cfg.remat:
             prop_fn = jax.checkpoint(prop_fn)
-        density = prop_fn(params[f"proposal_{i}"], samples.positions)
+        if prop_update is not None:
+            density = jax.lax.cond(
+                prop_update,
+                prop_fn,
+                lambda p, x: jax.lax.stop_gradient(
+                    prop_fn(jax.lax.stop_gradient(p),
+                            jax.lax.stop_gradient(x))),
+                params[f"proposal_{i}"], samples.positions)
+        else:
+            density = prop_fn(params[f"proposal_{i}"], samples.positions)
+        if density_hook is not None:
+            # uncertainty-filtered rendering also wraps the proposal density
+            # fns (output_uncertainty.py density_fns_new) so proposal samples
+            # avoid filtered-out regions
+            density = density_hook(samples.positions, density)
         weights = render_ops.render_weights(density, samples.deltas)
         sdist = jnp.concatenate(
             [samples.spacing_starts, samples.spacing_ends[..., -1:]], axis=-1)
@@ -96,7 +121,9 @@ def forward(params: Dict, ray_bundle: RayBundle, cfg: ModelConfig,
             key: Optional[jax.Array] = None, train: bool = False,
             anneal: jnp.ndarray | float = 1.0,
             background: Optional[str] = None,
-            density_hook=None) -> Dict[str, jnp.ndarray]:
+            density_hook=None,
+            prop_update: Optional[jnp.ndarray] = None
+            ) -> Dict[str, jnp.ndarray]:
     """Full composited forward pass.
 
     Train path ≙ fruit_nerf.py:543-599; eval/inference uses mean appearance
@@ -110,7 +137,8 @@ def forward(params: Dict, ray_bundle: RayBundle, cfg: ModelConfig,
                             cfg.camera_opt.mode) if train else ray_bundle
 
     samples, weights_list, sdist_list = _proposal_sampling(
-        params, rb, cfg, key, train, anneal)
+        params, rb, cfg, key, train, anneal, prop_update,
+        density_hook=density_hook)
 
     def field_eval(fparams, positions, directions, camera_idx):
         density, geo = field_density(fparams, positions, cfg.field)

@@ -13,7 +13,8 @@ import jax.numpy as jnp
 
 from ..core import spatial
 from ..ops.activations import trunc_exp
-from ..ops.hashgrid import hashgrid_encode, hashgrid_init, level_resolutions
+from ..ops.hashgrid import (hashgrid_encode, hashgrid_init,
+                            hashgrid_init_packed, level_resolutions)
 from ..ops.mlp import mlp_apply, mlp_init
 from .config import ProposalFieldConfig
 
@@ -23,9 +24,14 @@ def proposal_init(key: jax.Array, cfg: ProposalFieldConfig) -> Dict:
     g = cfg.grid
     grid_dim = g.num_levels * g.features_per_level
     num_layers = 1 if cfg.use_linear else cfg.num_layers
+    res = level_resolutions(g.num_levels, g.min_res, g.max_res)
+    grid = (hashgrid_init_packed(k_grid, res, g.features_per_level,
+                                 g.log2_hashmap_size)
+            if g.layout == "packed"
+            else hashgrid_init(k_grid, g.num_levels, g.features_per_level,
+                               g.log2_hashmap_size))
     return {
-        "grid": hashgrid_init(k_grid, g.num_levels, g.features_per_level,
-                              g.log2_hashmap_size),
+        "grid": grid,
         "mlp": mlp_init(k_mlp, grid_dim, cfg.hidden_dim, 1, num_layers),
     }
 
@@ -44,9 +50,11 @@ def proposal_density(params: Dict, positions: jnp.ndarray,
     res = level_resolutions(cfg.grid.num_levels, cfg.grid.min_res,
                             cfg.grid.max_res)
     if cfg.grid.impl == "pallas":
+        assert params["grid"].ndim == 3, "impl='pallas' needs layout='dense'"
         from ..ops.pallas.hash_encode import hashgrid_encode_pallas
         feats = hashgrid_encode_pallas(params["grid"], unit, res)
     else:
-        feats = hashgrid_encode(params["grid"], unit, res)
+        feats = hashgrid_encode(params["grid"], unit, res,
+                                table_size=2 ** cfg.grid.log2_hashmap_size)
     h = mlp_apply(params["mlp"], feats)
     return trunc_exp(h[..., 0]) * selector

@@ -84,6 +84,49 @@ class TestModelForward:
                             jax.tree.leaves(g["field"]["mlp_base"])])
         assert base_grad == pytest.approx(0.0, abs=1e-12)
 
+    def test_prop_no_grad_schedule_gradient_equivalence(self):
+        """The lax.cond no-grad schedule (≙ nerfstudio no_grad between
+        update steps) must give IDENTICAL grads to gating the interlevel
+        loss: on update steps all grads match the unconditioned forward; on
+        non-update steps prop grads are exactly zero and everything else
+        matches."""
+        from cropnerf_tpu.ops import losses as loss_ops
+        params = model_init(jax.random.PRNGKey(0), CFG.model, num_images=4)
+        rb = make_bundle(R=8)
+
+        def loss(p, prop_update, flag):
+            out = forward(p, rb, CFG.model, key=jax.random.PRNGKey(1),
+                          train=True, prop_update=prop_update)
+            inter = loss_ops.interlevel_loss(out["weights_list"],
+                                             out["sdist_list"])
+            return jnp.sum(out["rgb"] ** 2) + inter * flag
+
+        g_ref_on = jax.grad(lambda p: loss(p, None, 1.0))(params)
+        g_on = jax.grad(lambda p: loss(p, jnp.array(True), 1.0))(params)
+        jax.tree.map(lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6), g_ref_on, g_on)
+
+        g_ref_off = jax.grad(lambda p: loss(p, None, 0.0))(params)
+        g_off = jax.grad(lambda p: loss(p, jnp.array(False), 0.0))(params)
+        jax.tree.map(lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6), g_ref_off, g_off)
+        for k in params:
+            if k.startswith("proposal_"):
+                assert float(np.sum([np.abs(x).sum() for x in
+                                     jax.tree.leaves(g_off[k])])) == 0.0
+
+    def test_prop_no_grad_forward_value_unchanged(self):
+        """prop_update only affects gradients, never the forward values."""
+        params = model_init(jax.random.PRNGKey(0), CFG.model, num_images=4)
+        rb = make_bundle(R=8)
+        o_ref = forward(params, rb, CFG.model, key=jax.random.PRNGKey(1),
+                        train=True)
+        for flag in (True, False):
+            o = forward(params, rb, CFG.model, key=jax.random.PRNGKey(1),
+                        train=True, prop_update=jnp.array(flag))
+            np.testing.assert_allclose(np.asarray(o["rgb"]),
+                                       np.asarray(o_ref["rgb"]), atol=1e-6)
+
     def test_anneal_schedule(self):
         a0 = float(anneal_factor(jnp.array(0), CFG.model))
         a_half = float(anneal_factor(

@@ -244,3 +244,59 @@ class TestDenseIndexing:
         dense = hashgrid_encode(table, pos, res, hash_mode="auto")
         hashed = hashgrid_encode(table, pos, res, hash_mode="hash")
         assert float(jnp.abs(dense - hashed).max()) > 0  # different rows
+
+
+class TestPackedLayout:
+    """Packed [sum(rows_l), F] layout (tcnn allocation parity): per-level
+    rows = min(T, (res+1)^3)."""
+
+    def test_row_counts(self):
+        from cropnerf_tpu.ops.hashgrid import (level_resolutions,
+                                               level_row_counts)
+        res = level_resolutions(16, 16, 2048)
+        rows = level_row_counts(res, 2 ** 19)
+        # coarse levels collision-free, fine levels full table
+        assert rows[0] == 17 ** 3
+        assert rows[-1] == 2 ** 19
+        assert sum(rows) < 16 * 2 ** 19          # the 27% saving exists
+
+    def test_packed_matches_dense_slices(self):
+        """A packed table built from the dense layout's leading rows encodes
+        identically (same indexing math, different storage)."""
+        from cropnerf_tpu.ops.hashgrid import (level_resolutions,
+                                               level_row_counts)
+        T = 2 ** 12
+        res = level_resolutions(4, 4, 64)
+        dense_table = hashgrid_init(jax.random.PRNGKey(0), 4, 2, 12)
+        rows = level_row_counts(res, T)
+        packed = jnp.concatenate(
+            [dense_table[l, :rows[l]] for l in range(4)], axis=0)
+        pos = jax.random.uniform(jax.random.PRNGKey(1), (64, 3))
+        a = hashgrid_encode(dense_table, pos, res)
+        b = hashgrid_encode(packed, pos, res, table_size=T)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def test_packed_grad_flows(self):
+        from cropnerf_tpu.ops.hashgrid import (hashgrid_init_packed,
+                                               level_resolutions)
+        res = level_resolutions(3, 4, 16)
+        table = hashgrid_init_packed(jax.random.PRNGKey(0), res, 2, 10)
+        pos = jax.random.uniform(jax.random.PRNGKey(1), (16, 3))
+        g = jax.grad(lambda t: jnp.sum(
+            hashgrid_encode(t, pos, res, table_size=2 ** 10) ** 2))(table)
+        assert g.shape == table.shape
+        assert float(jnp.abs(g).sum()) > 0
+
+    def test_field_init_packed_by_default(self):
+        from cropnerf_tpu.models.config import FieldConfig, HashGridConfig
+        from cropnerf_tpu.models.field import field_init
+        cfg = FieldConfig(grid=HashGridConfig(num_levels=4,
+                                              log2_hashmap_size=10,
+                                              max_res=64))
+        params = field_init(jax.random.PRNGKey(0), cfg, num_images=2)
+        assert params["grid"].ndim == 2
+        cfg_d = FieldConfig(grid=HashGridConfig(num_levels=4,
+                                                log2_hashmap_size=10,
+                                                max_res=64, layout="dense"))
+        params_d = field_init(jax.random.PRNGKey(0), cfg_d, num_images=2)
+        assert params_d["grid"].shape == (4, 1024, 2)

@@ -61,7 +61,8 @@ class TestPallasFieldIntegration:
         from cropnerf_tpu.models.field import field_density, field_init
         cfg = FieldConfig(grid=HashGridConfig(num_levels=2,
                                               log2_hashmap_size=8,
-                                              max_res=16, impl="pallas"),
+                                              max_res=16, impl="pallas",
+                                              layout="dense"),
                           hidden_dim=8, geo_feat_dim=3,
                           hidden_dim_semantics=8, hidden_dim_color=8,
                           appearance_embedding_dim=2)
