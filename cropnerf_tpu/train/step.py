@@ -30,16 +30,21 @@ from .optim import make_optimizer
 from .state import TrainState
 
 
-def _prop_update_flag(step: jnp.ndarray, cfg) -> jnp.ndarray:
+def _prop_update_bool(step: jnp.ndarray, cfg) -> jnp.ndarray:
     """Proposal-network update schedule (fruit_nerf.py:144-149): the update
     period ramps linearly from 1 to ``proposal_update_every`` over
     ``proposal_warmup`` steps; prop nets receive interlevel gradients only on
-    update steps."""
+    update steps (and skip their backward entirely when
+    ``proposal_no_grad_schedule``)."""
     m = cfg.model
     period = jnp.clip(step.astype(jnp.float32) / m.proposal_warmup
                       * m.proposal_update_every, 1.0, m.proposal_update_every)
     period = jnp.round(period).astype(jnp.int32)
-    return (step % period == 0).astype(jnp.float32)
+    return step % period == 0
+
+
+def _prop_update_flag(step: jnp.ndarray, cfg) -> jnp.ndarray:
+    return _prop_update_bool(step, cfg).astype(jnp.float32)
 
 
 def compute_losses(params: Dict, outputs: Dict, rgb_gt: jnp.ndarray,
@@ -106,10 +111,12 @@ def make_train_step(cfg: TrainConfig, mesh: Optional[jax.sharding.Mesh] = None,
                        camera_idx=cam)
         rb = near_far_collider(rb, m.near_plane, m.far_plane)
         anneal = anneal_factor(step, m)
-        outputs = forward(params, rb, m, key=key, train=True, anneal=anneal)
-        prop_flag = _prop_update_flag(step, cfg)
+        upd = _prop_update_bool(step, cfg)
+        outputs = forward(params, rb, m, key=key, train=True, anneal=anneal,
+                          prop_update=(upd if m.proposal_no_grad_schedule
+                                       else None))
         loss, aux = compute_losses(params, outputs, rgb_gt, mask_gt, cfg,
-                                   prop_flag)
+                                   upd.astype(jnp.float32))
         aux["psnr"] = metric_ops.psnr(outputs["rgb"], rgb_gt)
         return loss, aux
 
@@ -142,7 +149,8 @@ def make_train_step(cfg: TrainConfig, mesh: Optional[jax.sharding.Mesh] = None,
 
 
 def make_sharded_train_step(cfg: TrainConfig, mesh: jax.sharding.Mesh,
-                            donate: bool = True):
+                            donate: bool = True,
+                            return_grads: bool = False):
     """Train step for a *sharded* pixel bank (multi-host / HBM-bound data).
 
     Unlike :func:`make_train_step` (replicated bank, globally-sampled ray
@@ -186,16 +194,25 @@ def make_sharded_train_step(cfg: TrainConfig, mesh: jax.sharding.Mesh,
                                fars=jnp.ones((R_local,)), camera_idx=cam)
                 rb = near_far_collider(rb, m.near_plane, m.far_plane)
                 anneal = anneal_factor(step, m)
+                upd = _prop_update_bool(step, cfg)
                 outputs = forward(params, rb, m, key=key_model, train=True,
-                                  anneal=anneal)
-                prop_flag = _prop_update_flag(step, cfg)
+                                  anneal=anneal,
+                                  prop_update=(upd if m.proposal_no_grad_schedule
+                                               else None))
                 loss, aux = compute_losses(params, outputs, rgb_gt, mask_gt,
-                                           cfg, prop_flag)
+                                           cfg, upd.astype(jnp.float32))
                 aux["psnr"] = metric_ops.psnr(outputs["rgb"], rgb_gt)
                 return loss, aux
 
             (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-            return jax.lax.pmean(grads, "data"), jax.lax.pmean(aux, "data")
+            # jax.grad w.r.t. a REPLICATED (P()) input inside shard_map
+            # auto-psums the cotangent to keep it replicated (JAX 0.9 vma
+            # semantics; verified by tests/test_trainer.py grad-equivalence
+            # — an extra pmean here is a no-op on the already-replicated
+            # value and silently leaves the grads summed, not averaged).
+            # The DDP mean is therefore sum/ndev:
+            grads = jax.tree.map(lambda g: g / ndev, grads)
+            return grads, jax.lax.pmean(aux, "data")
 
         grads, aux = jax.shard_map(
             local_grads, mesh=mesh,
@@ -204,6 +221,10 @@ def make_sharded_train_step(cfg: TrainConfig, mesh: jax.sharding.Mesh,
         )(state.params, bank.rgb, bank.mask, bank.cameras, state.step, key)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        if return_grads:
+            # test hook: expose the pmean'd grads for the DDP
+            # grad-equivalence contract check (train/debug.py)
+            aux = dict(aux, grads=grads)
         return state.replace(params=params, opt_state=opt_state,
                              step=state.step + 1), aux
 

@@ -92,6 +92,32 @@ class TestTrainerLoop:
         for a, b in zip(leaves1, leaves2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
+    def test_eval_image_artifacts_and_full_eval(self, tmp_path):
+        """steps_per_eval_image emits the PNG artifact set
+        (≙ fruit_nerf.py:647-702) and the end-of-train full-eval pass
+        reports averaged metrics (≙ fruit_pipeline.py:178-229)."""
+        root = write_synthetic_dataset(tmp_path / "ds")
+        cfg = dataclasses.replace(PRESETS["cropnerf-tiny"],
+                                  train_num_rays_per_batch=128,
+                                  steps_per_eval_batch=10_000,
+                                  steps_per_eval_image=10,
+                                  steps_per_save=10_000)
+        data_cfg = DataparserConfig(data_dir=root, train_split_fraction=0.8)
+        run_dir = tmp_path / "run"
+        trainer = Trainer(cfg, data_cfg, run_dir)
+        metrics = trainer.train(num_steps=10, log_every=10)
+        art = run_dir / "eval_images" / "step_000000010"
+        for name in ("img.png", "depth.png", "accumulation.png",
+                     "semantics.png"):
+            assert (art / name).exists(), name
+        # gt|pred strip is twice the eval image width
+        from PIL import Image
+        w_img, _ = Image.open(art / "img.png").size
+        assert w_img == 2 * int(trainer.eval_cameras.width[0])
+        # end-of-train full-eval metrics present
+        assert "all_eval_psnr" in metrics and np.isfinite(
+            metrics["all_eval_psnr"])
+
 
 class TestResume:
     def test_resume_continues_from_checkpoint(self, tmp_path):
@@ -197,6 +223,33 @@ class TestShardedBank:
         # grads/params stay replicated across the mesh
         leaf = jax.tree.leaves(state.params)[0]
         assert leaf.sharding.is_fully_replicated
+
+    def test_sharded_step_gradient_equivalence(self):
+        """The shard_map sharded-bank step must produce the SAME params as a
+        one-device replay of its exact computation over the global bank —
+        validating the shard layout assumption, the global camera-id
+        arithmetic (cam_l + di*images_per_device), and the grad/metric pmean
+        (the reference's DDP grad-equivalence contract,
+        fruit_pipeline.py:119-121)."""
+        import dataclasses as dc
+        from cropnerf_tpu.data.databank import (
+            build_pixel_bank, build_sharded_pixel_bank, pad_cameras)
+        from cropnerf_tpu.train.debug import \
+            assert_sharded_step_matches_replay
+        from cropnerf_tpu.train.state import create_train_state
+        mesh = jax.sharding.Mesh(np.array(jax.devices()), ("data",))
+        n, h, w = 8, 16, 16
+        cams = ring_cameras(n=n, height=h, width=w, focal=20.0)
+        images, masks = render_synthetic_images(cams, h, w)
+        cams_p = pad_cameras(cams, mesh.size)
+        bank_s = build_sharded_pixel_bank(images, masks, cams_p, mesh)
+        bank_g = build_pixel_bank(images, masks, cams_p)
+        cfg = dc.replace(PRESETS["cropnerf-tiny"],
+                         train_num_rays_per_batch=128)
+        state = create_train_state(jax.random.PRNGKey(0), cfg, num_images=n)
+        max_dev = assert_sharded_step_matches_replay(
+            state, bank_s, bank_g, jax.random.PRNGKey(7), cfg, mesh)
+        assert np.isfinite(max_dev)
 
     def test_trainer_shard_bank_e2e(self, tmp_path):
         root = write_synthetic_dataset(tmp_path / "ds", n=10, size=16)
