@@ -10,13 +10,17 @@ Done (2026-08-18):
     (models/config.py).
 
 Pending:
-  * steps_per_dispatch (lax.scan) A/B with FULL final-state
-    materialisation.  A first A/B (block on last loss only) measured
-    0.750 ms/step per-step vs 0.016 ms/step scanned-50 — 47x is below
-    compute roofline, so treat it as an async-timing artifact of the
-    remote runtime until /tmp/scan_ab2.py-style (block on params) numbers
-    exist.  The wiring (make_train_step(num_inner), Trainer
-    steps_per_dispatch) is CPU-tested.
+  * RE-MEASURE EVERYTHING with the device_get protocol (bench.py
+    _time_step): block_until_ready is a no-op through axon (CLAUDE.md),
+    so ALL pre-2026-08-18-pm numbers (6.2-6.6 M rays/s, remat A/B, scan
+    A/B) are max(dispatch-latency, device-time) and may be wrong in
+    either direction.
+  * bench.py --breakdown on chip (full / sgd / forward-only ms/step).
+  * A/B at the base config with the sync-robust protocol:
+    (a) packed vs dense table layout; (b) proposal_no_grad_schedule
+    on/off; (c) FieldConfig.mlp_impl xla vs pallas in the FULL step.
+  * steps_per_dispatch (lax.scan) A/B with full final-state
+    materialisation (supersedes the earlier async-artifact numbers).
 """
 import time, sys
 sys.path.insert(0, "/root/repo")

@@ -38,10 +38,13 @@ def _add_train(sub):
     p.add_argument("--experiment-name", default="cropnerf")
     p.add_argument("--multichip", action="store_true",
                    help="shard rays over all local devices")
-    p.add_argument("--shard-bank", action="store_true",
+    p.add_argument("--shard-bank", choices=["auto", "on", "off"],
+                   default="auto",
                    help="with --multichip: shard the pixel bank over the "
                         "mesh (per-device local ray sampling; the multi-host "
-                        "data path, auto-enabled on pods)")
+                        "data path). auto = on for multi-host pods, off "
+                        "otherwise; off forces the replicated bank even on "
+                        "pods")
     p.add_argument("--rays-per-batch", type=int, default=None,
                    help="override the preset's train ray batch")
     p.add_argument("--remat", choices=["on", "off"], default=None,
@@ -81,10 +84,13 @@ def _cmd_train(args):
     mesh = None
     if args.multichip and len(jax.devices()) > 1:
         mesh = jax.sharding.Mesh(np.array(jax.devices()), ("data",))
+    if args.shard_bank != "auto" and mesh is None:
+        raise SystemExit("--shard-bank requires --multichip (and >1 device)")
+    shard_bank = {"auto": None, "on": True, "off": False}[args.shard_bank]
     trainer = Trainer(cfg, data_cfg, args.output, mesh=mesh,
                       experiment_name=args.experiment_name,
                       resume=args.resume,
-                      shard_bank=args.shard_bank or None,
+                      shard_bank=shard_bank,
                       steps_per_dispatch=args.steps_per_dispatch)
     trainer.install_signal_handlers()
     metrics = trainer.train(num_steps=args.max_steps)
@@ -208,6 +214,19 @@ def _add_count(sub):
     p.add_argument("--attach-unlabeled", action="store_true",
                    help="evidence-free subclusters attach to the nearest "
                         "anchor instead of counting as instances")
+    p.add_argument("--scale-factor", type=float, default=1.0,
+                   help="label→projection resolution scale (≙ merger.py "
+                        "--scale_factor): GT labels are nearest-neighbour "
+                        "rescaled before scoring")
+    p.add_argument("--label-dir", type=Path, default=None,
+                   help="refresh per-camera label images from this "
+                        "SegmentationLabel tree (label_<frame>.png)")
+    p.add_argument("--orig-img-dir", type=Path, default=None,
+                   help="original segmentation images for overlay debug "
+                        "artifacts (≙ overly_mask_with_projection)")
+    p.add_argument("--overlays", action="store_true",
+                   help="write overlay debug PNGs under "
+                        "super_cluster_*/overlay/")
     p.add_argument("--output-ply", type=Path, default=None)
 
 
@@ -221,7 +240,11 @@ def _cmd_count(args):
         binary_threshold=args.binary_threshold,
         frame_sampling_interval=args.frame_sampling_interval,
         area_normalize=args.area_normalize,
-        attach_unlabeled=args.attach_unlabeled)
+        attach_unlabeled=args.attach_unlabeled,
+        scale_factor=args.scale_factor,
+        label_dir=args.label_dir,
+        orig_img_dir=args.orig_img_dir,
+        make_overlays=args.overlays)
     result = count_instances(args.projection_dir, info, cfg)
     out_ply = args.output_ply or (Path(args.pcd_dir) / "full_tree_seg_result.ply")
     write_instance_cloud(out_ply, info, result)

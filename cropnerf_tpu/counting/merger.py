@@ -45,12 +45,106 @@ class MergerConfig:
     frame_sampling_interval: int = 10
     n_thread: int = 10
     max_super_clusters: int = 17
+    # Label/projection resolution reconciliation + overlay debug artifacts
+    # (≙ copy_with_scaling + overly_mask_with_projection, merger.py:145-189).
+    # ``scale_factor`` maps the GT label resolution to the projection
+    # resolution (labels at full res, projections at NeRF training res);
+    # ``label_dir`` refreshes the per-camera labels from the original
+    # SegmentationLabel tree; ``orig_img_dir`` additionally copies+scales the
+    # original segmentation images for the overlays.
+    scale_factor: float = 1.0
+    label_dir: Optional[Path] = None
+    orig_img_dir: Optional[Path] = None
+    make_overlays: bool = False
     # Improvement over the reference (off by default for parity): a
     # subcluster that gathered NO label evidence from any camera (e.g. a
     # fully-occluded core) cannot testify to being its own instance; attach
     # it to the spatially nearest evidenced subcluster instead of counting
     # it as a singleton.
     attach_unlabeled: bool = False
+
+
+def copy_with_scaling(src: Path, dst: Path, scale_factor: float,
+                      interpolation: int = cv2.INTER_NEAREST) -> None:
+    """Copy an image, nearest-neighbour rescaled by ``scale_factor``
+    (≙ copy_with_scaling, merger.py:145-158 — labels are instance-id images,
+    so interpolation must never invent ids)."""
+    src, dst = Path(src), Path(dst)
+    if scale_factor == 1.0:
+        if src.resolve() != dst.resolve():
+            import shutil
+            shutil.copy(src, dst)
+        return
+    img = cv2.imread(str(src), cv2.IMREAD_UNCHANGED)
+    if img is None:
+        return
+    new_size = (int(img.shape[1] * scale_factor),
+                int(img.shape[0] * scale_factor))
+    cv2.imwrite(str(dst), cv2.resize(img, new_size,
+                                     interpolation=interpolation))
+
+
+def prepare_camera_labels(sc_dir: Path, cfg: MergerConfig) -> None:
+    """Refresh/rescale each camera's GT label image and emit overlay debug
+    PNGs (≙ overly_mask_with_projection, merger.py:161-189).
+
+    Per cam dir: the label image is (re)copied from ``cfg.label_dir`` (keyed
+    by frame name, like the reference keys by the copied ``frame*.png``) and
+    rescaled by ``cfg.scale_factor`` to the projection resolution; the union
+    of the visibility projections is alpha-blended (0.5/0.5) over the
+    segmentation frame into ``<sc_dir>/overlay/label_<frame>.png``.  Skipped
+    when ``overlay/`` already exists (reference merger.py:392-393).
+    """
+    overlay_dir = sc_dir / "overlay"
+    if overlay_dir.exists():
+        return
+    need_overlay = cfg.make_overlays or cfg.orig_img_dir is not None
+    if need_overlay:
+        overlay_dir.mkdir(parents=True, exist_ok=True)
+    for cam_dir in sorted(sc_dir.glob("cam_*")):
+        existing = sorted(cam_dir.glob("label_*.png"))
+        frame_name = (existing[0].name[len("label_"):] if existing else None)
+        if cfg.label_dir is not None:
+            src = (Path(cfg.label_dir) / f"label_{frame_name}"
+                   if frame_name else None)
+            if src is None or not src.exists():
+                # fall back to positional match: cam_<i> ↔ i-th label
+                labels = sorted(Path(cfg.label_dir).glob("label_*.png"))
+                idx = int(cam_dir.name.split("_")[-1])
+                src = labels[idx] if idx < len(labels) else None
+            if src is not None and src.exists():
+                frame_name = src.name[len("label_"):]
+                copy_with_scaling(src, cam_dir / src.name, cfg.scale_factor)
+        elif cfg.scale_factor != 1.0 and existing:
+            copy_with_scaling(existing[0], existing[0], cfg.scale_factor)
+        if frame_name is None or not need_overlay:
+            continue
+        # segmentation frame: the original instance-colour image if given,
+        # else a palette rendering of the label ids
+        seg = None
+        if cfg.orig_img_dir is not None:
+            orig = Path(cfg.orig_img_dir) / frame_name
+            if orig.exists():
+                copy_with_scaling(orig, cam_dir / frame_name,
+                                  cfg.scale_factor)
+                seg = cv2.imread(str(cam_dir / frame_name))
+        if seg is None:
+            lab = cv2.imread(str(cam_dir / f"label_{frame_name}"),
+                             cv2.IMREAD_GRAYSCALE)
+            if lab is None:
+                continue
+            seg = _PALETTE[lab.astype(int) % len(_PALETTE)][..., ::-1].copy()
+            seg[lab == 0] = 0
+        merged = np.zeros_like(seg)
+        for proj_path in sorted(
+                cam_dir.glob(f"{cfg.visible_img_prefix}*.png")):
+            proj = cv2.imread(str(proj_path))
+            if proj is None or proj.shape != merged.shape:
+                continue
+            mask = proj.astype(bool)
+            merged[mask] = proj[mask]
+        overlaid = cv2.addWeighted(seg, 0.5, merged, 0.5, 0)
+        cv2.imwrite(str(overlay_dir / f"label_{frame_name}"), overlaid)
 
 
 def wo_occlusion_area(path: Path, thres: int
@@ -99,8 +193,24 @@ def visible_projection_stats(cam_dir: Path, cid: int, bbox, thres: int,
     area = float(mask.sum())
     if area < 10:
         return EPS, 0, EPS
+    if len(label_paths) > 1:
+        import warnings
+        warnings.warn(
+            f"{cam_dir} holds {len(label_paths)} label_*.png; the projection "
+            "layout is one label per camera dir — using the first "
+            f"({label_paths[0].name}). Pass label_dir/scale_factor to "
+            "refresh labels deterministically.")
     label_img = cv2.imread(str(label_paths[0]), cv2.IMREAD_GRAYSCALE)
-    labels = label_img[y0:y1, x0:x1][mask]
+    crop = label_img[y0:y1, x0:x1]
+    if crop.shape != mask.shape:
+        # label/projection resolution mismatch (or off-by-one from the
+        # reference's int() rescale): score against the overlapping region,
+        # zero-padding the rest (label 0 == background)
+        padded = np.zeros(mask.shape, label_img.dtype)
+        padded[:crop.shape[0], :crop.shape[1]] = \
+            crop[:mask.shape[0], :mask.shape[1]]
+        crop = padded
+    labels = crop[mask]
     counted = sorted(((v, k) for k, v in Counter(labels.tolist()).items()),
                      reverse=True)
     label_area, label = counted[0]
@@ -217,6 +327,9 @@ def count_instances(projection_dir: Path, super_cluster_info: np.ndarray,
 
     def handle(idx: int):
         sc_dir = projection_dir / f"super_cluster_{idx}"
+        if (cfg.label_dir is not None or cfg.scale_factor != 1.0
+                or cfg.make_overlays or cfg.orig_img_dir is not None):
+            prepare_camera_labels(sc_dir, cfg)
         props = process_super_cluster(sc_dir, n_sub, cfg)
         affinity = calc_affinity(props)
         n_comp, labels = partition(affinity, cfg.graph_partition)

@@ -151,6 +151,24 @@ def build_sharded_pixel_bank(local_images: np.ndarray,
         NamedSharding(mesh, P("data")), local_images.reshape(-1, 3))
     mask = jax.make_array_from_process_local_data(
         NamedSharding(mesh, P("data")), local_masks.reshape(-1))
+    # The per-host loader (process_image_range) assumes this process's
+    # devices own the CONTIGUOUS global row range [p*per, (p+1)*per).  If
+    # device enumeration ever interleaved processes in the mesh, the local
+    # slice would land on the wrong global rows and the sharded step's
+    # ``cam = cam_l + axis_index*images_per_device`` would silently pair
+    # pixels with wrong cameras — assert the layout instead of trusting it.
+    total_rows = n_global * h * w
+    per_proc = total_rows // jax.process_count()
+    lo_row = jax.process_index() * per_proc
+    spans = sorted(((s.index[0].start or 0,
+                     s.index[0].stop if s.index[0].stop is not None
+                     else total_rows) for s in rgb.addressable_shards))
+    assert spans[0][0] == lo_row and spans[-1][1] == lo_row + per_proc and \
+        all(a[1] == b[0] for a, b in zip(spans, spans[1:])), (
+        f"process {jax.process_index()} owns rows {spans}, expected the "
+        f"contiguous range [{lo_row}, {lo_row + per_proc}) — device "
+        "enumeration interleaves processes; the sharded bank's camera-id "
+        "arithmetic does not support this mesh layout")
     replicate = NamedSharding(mesh, P())
     cams = jax.tree.map(lambda a: jax.device_put(a, replicate), cameras)
     return PixelBank(rgb=rgb, mask=mask, cameras=cams, height=h, width=w)

@@ -103,6 +103,57 @@ def save_affinity_graph(affinity: np.ndarray, out_path: Path,
     return out_path
 
 
+def apply_colormap(x: np.ndarray, cmap: str = "turbo",
+                   lo: Optional[float] = None,
+                   hi: Optional[float] = None) -> np.ndarray:
+    """Scalar image [H, W] → uint8 RGB [H, W, 3] (≙ nerfstudio colormaps
+    used by the reference's eval images, fruit_nerf.py:653-683)."""
+    x = np.asarray(x, np.float32)
+    lo = float(x.min()) if lo is None else lo
+    hi = float(x.max()) if hi is None else hi
+    t = (x - lo) / max(hi - lo, 1e-12)
+    t = np.clip(t, 0.0, 1.0)
+    _plt()
+    import matplotlib
+    rgba = matplotlib.colormaps[cmap](t)
+    return (rgba[..., :3] * 255).astype(np.uint8)
+
+
+def save_eval_images(out_dir: Path, outputs: dict, gt_rgb: np.ndarray,
+                     gt_mask: np.ndarray) -> Path:
+    """Eval-image artifact strip set (≙ get_image_metrics_and_images,
+    fruit_nerf.py:647-702): gt|pred RGB strip, accumulation + depth
+    colormaps, semantic sigmoid map (+ 0.9-binarised) vs the GT mask.
+
+    ``outputs``: the render dict (rgb/accumulation/depth/semantics_colormap
+    as [H, W, C] arrays).  Writes PNGs under ``out_dir``.
+    """
+    from PIL import Image
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    pred = np.clip(np.asarray(outputs["rgb"], np.float32), 0, 1)
+    gt = np.asarray(gt_rgb, np.float32)
+    if gt.max() > 1:
+        gt = gt / 255.0
+    strip = np.concatenate([gt, pred], axis=1)
+    Image.fromarray((strip * 255).astype(np.uint8)).save(out_dir / "img.png")
+
+    acc = np.asarray(outputs["accumulation"])[..., 0]
+    Image.fromarray(apply_colormap(acc, lo=0.0, hi=1.0)).save(
+        out_dir / "accumulation.png")
+    depth = np.asarray(outputs["depth"])[..., 0]
+    Image.fromarray(apply_colormap(depth)).save(out_dir / "depth.png")
+
+    sem = np.asarray(outputs["semantics_colormap"])[..., 0]
+    sem_strip = np.concatenate(
+        [sem, (sem >= 0.9).astype(np.float32),
+         np.asarray(gt_mask, np.float32)], axis=1)
+    Image.fromarray((np.clip(sem_strip, 0, 1) * 255).astype(np.uint8)).save(
+        out_dir / "semantics.png")
+    return out_dir
+
+
 def save_projection_overlay(label_img: np.ndarray, projection_img: np.ndarray,
                             out_path: Path) -> Path:
     """Blend a visibility projection over the GT label image for debugging

@@ -1,18 +1,28 @@
 """LPIPS perceptual metric (eval-only, optional).
 
-The reference uses torchmetrics' LPIPS with pretrained VGG/AlexNet weights
+The reference uses torchmetrics' LPIPS with pretrained VGG weights
 (/root/reference/crop_nerf/fruit_nerf/fruit_nerf.py:183,699).  Pretrained
 weights cannot be fetched in a zero-egress environment, so this module
-implements the LPIPS *computation* in jnp (normalised deep-feature
-distances with learned linear calibration) and loads weights from a local
-``.npz``; without a weight file it degrades to a documented fallback.
+implements the LPIPS *computation* in jnp — the exact math is golden-tested
+against a torch reference implementation with shared random weights
+(tests/test_lpips_profiling.py) — and loads real weights from a local
+``.npz`` (``CROPNERF_LPIPS_WEIGHTS`` env var, produced by
+tools/convert_lpips_weights.py).  Without a weight file the metric is
+reported as UNAVAILABLE (never silently omitted; the trainer prints why).
 
-Weight file layout (``lpips_weights.npz``): conv kernels ``convN_w`` [kh,
-kw, cin, cout] + biases ``convN_b`` for the 5 VGG16 feature stages, and
-per-stage linear calibration weights ``linN`` [c].
+Math (Zhang et al., the ``lpips`` package with ``spatial_average=True``):
+input in [0,1] → scaled to [-1,1] → per-channel shift/scale → VGG16 convs
+(ReLU, maxpool between stages); at each tap (relu1_2, relu2_2, relu3_3,
+relu4_3, relu5_3): unit-normalise the channel dim, squared difference,
+per-channel linear calibration, spatial mean; sum over taps.
+
+Weight file layout (``lpips_weights.npz``): conv kernels ``convN_w``
+[kh, kw, cin, cout] + biases ``convN_b`` numbered sequentially through the
+VGG16 feature stack; ``linN`` [c] at each tap's conv index.
 """
 from __future__ import annotations
 
+import os
 from pathlib import Path
 from typing import Optional
 
@@ -23,6 +33,9 @@ import numpy as np
 _SHIFT = jnp.array([-0.030, -0.088, -0.188])
 _SCALE = jnp.array([0.458, 0.448, 0.450])
 
+_DEFAULT_WEIGHTS: Optional[dict] = None
+_DEFAULT_LOADED = False
+
 
 def load_weights(path: Path) -> Optional[dict]:
     path = Path(path)
@@ -30,6 +43,21 @@ def load_weights(path: Path) -> Optional[dict]:
         return None
     data = np.load(path)
     return {k: jnp.asarray(v) for k, v in data.items()}
+
+
+def default_weights() -> Optional[dict]:
+    """Weights from ``CROPNERF_LPIPS_WEIGHTS`` (cached), or None."""
+    global _DEFAULT_WEIGHTS, _DEFAULT_LOADED
+    if not _DEFAULT_LOADED:
+        _DEFAULT_LOADED = True
+        p = os.environ.get("CROPNERF_LPIPS_WEIGHTS")
+        if p:
+            _DEFAULT_WEIGHTS = load_weights(Path(p))
+    return _DEFAULT_WEIGHTS
+
+
+def lpips_available() -> bool:
+    return default_weights() is not None
 
 
 def _conv(x, w, b):
@@ -44,28 +72,38 @@ def _normalize(feat):
     return feat / jnp.maximum(n, 1e-10)
 
 
+_UNSET = object()
+
+
 def lpips(pred: jnp.ndarray, target: jnp.ndarray,
-          weights: Optional[dict]) -> Optional[jnp.ndarray]:
+          weights=_UNSET) -> Optional[jnp.ndarray]:
     """pred/target [H, W, 3] in [0, 1].  Returns the LPIPS distance, or
-    ``None`` when no weight file is available (callers report the metric as
-    absent — matching reference behaviour when torchmetrics is missing)."""
+    ``None`` when no weights are available (callers report the metric as
+    unavailable — matching reference behaviour when torchmetrics is
+    missing).  ``weights`` defaults to :func:`default_weights`."""
+    if weights is _UNSET:
+        weights = default_weights()
     if weights is None:
         return None
-    x = ((pred[None] - 0.5) * 2.0 - _SHIFT) / _SCALE
-    y = ((target[None] - 0.5) * 2.0 - _SHIFT) / _SCALE
+    x = ((pred[None] * 2.0 - 1.0) - _SHIFT) / _SCALE
+    y = ((target[None] * 2.0 - 1.0) - _SHIFT) / _SCALE
     dist = 0.0
-    stage = 0
-    while f"conv{stage}_w" in weights:
-        x = _conv(x, weights[f"conv{stage}_w"], weights[f"conv{stage}_b"])
-        y = _conv(y, weights[f"conv{stage}_w"], weights[f"conv{stage}_b"])
-        if f"lin{stage}" in weights:
+    conv_idx = 0
+    while f"conv{conv_idx}_w" in weights:
+        x = _conv(x, weights[f"conv{conv_idx}_w"],
+                  weights[f"conv{conv_idx}_b"])
+        y = _conv(y, weights[f"conv{conv_idx}_w"],
+                  weights[f"conv{conv_idx}_b"])
+        if f"lin{conv_idx}" in weights:
+            # tap: unit-normalise channels, squared diff, per-channel lin
+            # calibration summed over channels, spatial mean
             d = (_normalize(x) - _normalize(y)) ** 2
-            d = jnp.mean(d * weights[f"lin{stage}"], axis=(1, 2, 3))
-            dist = dist + d
-            # spatial downsample between stages
+            d = jnp.sum(d * weights[f"lin{conv_idx}"], axis=-1)  # [1, H, W]
+            dist = dist + jnp.mean(d, axis=(1, 2))
+            # maxpool between VGG stages
             x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
                                       (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
             y = jax.lax.reduce_window(y, -jnp.inf, jax.lax.max,
                                       (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
-        stage += 1
+        conv_idx += 1
     return dist[0]

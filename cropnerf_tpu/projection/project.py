@@ -179,5 +179,7 @@ def run_projections(params, model_cfg: ModelConfig, cameras: Cameras,
             if label_paths is not None:
                 lp = Path(label_paths[c])
                 if lp.exists():
-                    shutil.copy(lp, cam_dir / f"label_{lp.name}")
+                    name = (lp.name if lp.name.startswith("label_")
+                            else f"label_{lp.name}")
+                    shutil.copy(lp, cam_dir / name)
     return output_dir

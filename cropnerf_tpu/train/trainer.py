@@ -52,7 +52,8 @@ class Trainer:
                  output_dir: Path, mesh: Optional[jax.sharding.Mesh] = None,
                  experiment_name: str = "cropnerf", resume: bool = False,
                  shard_bank: Optional[bool] = None,
-                 steps_per_dispatch: int = 1):
+                 steps_per_dispatch: int = 1,
+                 num_images_override: Optional[int] = None):
         from ..utils.cache import enable_compilation_cache
         enable_compilation_cache()
         self.cfg = cfg
@@ -79,8 +80,14 @@ class Trainer:
             self.eval_images, self.eval_masks, self.eval_cameras)
 
         key = jax.random.PRNGKey(cfg.seed)
+        # num_images_override: rebuild per-image params (appearance
+        # embedding, camera-opt) at a run's original — possibly padded —
+        # image count so orbax restore matches (a shard_bank run pads the
+        # image count to the mesh size; run_config.json records it)
+        self.num_train_images = int(num_images_override
+                                    or self.bank.num_images)
         self.state: TrainState = create_train_state(
-            key, cfg, num_images=self.bank.num_images)
+            key, cfg, num_images=self.num_train_images)
         # steps_per_dispatch > 1 fuses that many optimizer steps into one
         # XLA program (lax.scan) — one host→device dispatch per chunk, so
         # training stays compute-bound even when dispatch latency rivals the
@@ -155,6 +162,8 @@ class Trainer:
     def _write_run_metadata(self) -> None:
         meta = {
             "experiment_name": self.experiment_name,
+            "num_train_images": self.num_train_images,
+            "shard_bank": self.shard_bank,
             "config": dataclasses.asdict(self.cfg),
             "data_config": {k: str(v) for k, v in
                             dataclasses.asdict(self.data_config).items()},
@@ -206,7 +215,8 @@ class Trainer:
 
     # -- eval (≙ get_eval_image_metrics_and_images, fruit_nerf.py:647-702) --
 
-    def eval_image(self, eval_idx: int = 0) -> Dict[str, float]:
+    def eval_image(self, eval_idx: int = 0,
+                   save_dir: Optional[Path] = None) -> Dict[str, float]:
         h = int(self.eval_cameras.height[eval_idx])
         w = int(self.eval_cameras.width[eval_idx])
         out = self.render(self.state.params, self.eval_cameras,
@@ -222,7 +232,31 @@ class Trainer:
                 out["semantics_colormap"][..., 0], mask_gt,
                 threshold=0.9)),
         }
+        lp = self._lpips(out["rgb"], gt)
+        if lp is not None:
+            m["eval_lpips"] = lp
+        if save_dir is not None:
+            # eval-image artifacts (gt|pred strip, depth/accumulation
+            # colormaps, semantic map + mask) — the reference's primary QC
+            # channel (fruit_nerf.py:647-702)
+            from ..evaluation.vis import save_eval_images
+            save_eval_images(save_dir, jax.device_get(out),
+                             np.asarray(self.eval_images[eval_idx]),
+                             np.asarray(self.eval_masks[eval_idx]))
         return m
+
+    def _lpips(self, pred, gt) -> Optional[float]:
+        """LPIPS when weights are available; None (reported as unavailable)
+        otherwise — never silently absent (fruit_nerf.py:183,699)."""
+        from ..ops.lpips import lpips_available, lpips
+        if not lpips_available():
+            if not getattr(self, "_lpips_warned", False):
+                print("eval: lpips unavailable (no VGG weights; set "
+                      "CROPNERF_LPIPS_WEIGHTS) — reporting PSNR/SSIM/IoU "
+                      "only", flush=True)
+                self._lpips_warned = True
+            return None
+        return float(lpips(pred, gt))
 
     def eval_batch(self, seed: int = 0) -> Dict[str, float]:
         """Loss/PSNR on a random eval ray batch (≙ get_eval_loss_dict on
@@ -279,14 +313,28 @@ class Trainer:
                 last_metrics.update(eb)
                 self.writer.write(step, eb, prefix="eval")
             if step % cfg.steps_per_eval_image == 0 and step > 0:
-                em = self.eval_image(0)
+                em = self.eval_image(0, save_dir=self.output_dir /
+                                     "eval_images" / f"step_{step:09d}")
                 last_metrics.update(em)
                 self.writer.write(step, em, prefix="eval")
                 print(f"[step {step}] eval "
                       f"psnr={last_metrics['eval_psnr']:.2f} "
                       f"iou={last_metrics['eval_iou']:.3f}", flush=True)
+            if (cfg.steps_per_eval_all_images > 0 and step > 0
+                    and step % cfg.steps_per_eval_all_images == 0):
+                ea = self.eval_all_images()
+                last_metrics.update({f"all_{k}": v for k, v in ea.items()})
+                self.writer.write(step, ea, prefix="eval_all")
             if step % cfg.steps_per_save == 0 and step > 0:
                 self.save_checkpoint()
+        # full-eval at train end (≙ after-train get_average_eval_image_metrics,
+        # fruit_pipeline.py:178-229)
+        if not self._stop_requested:
+            ea = self.eval_all_images()
+            last_metrics.update({f"all_{k}": v for k, v in ea.items()})
+            self.writer.write(int(self.state.step), ea, prefix="eval_all")
+            print("[final] " + " ".join(f"{k}={v:.3f}"
+                                        for k, v in ea.items()), flush=True)
         self.save_checkpoint()
         return last_metrics
 
@@ -306,7 +354,8 @@ def load_trainer_from_run(run_dir: Path,
         train_split_fraction=float(dc["train_split_fraction"]),
         semantic_dir=dc["semantic_dir"])
     trainer = Trainer(cfg, data_config, run_dir, mesh=mesh,
-                      experiment_name=meta.get("experiment_name", "cropnerf"))
+                      experiment_name=meta.get("experiment_name", "cropnerf"),
+                      num_images_override=meta.get("num_train_images"))
     ckpts = sorted((run_dir / "checkpoints").glob("step-*"))
     if ckpts:
         trainer.load_checkpoint(ckpts[-1])

@@ -158,11 +158,21 @@ class ComputeUncertainty:
         return hessian
 
 
+# Fixed global log10 normalisation bounds (output_uncertainty.py: min=-3,
+# max=6): uncertainty is an ABSOLUTE quantity — normalising per batch would
+# rescale every render chunk independently and turn the filter threshold
+# into a per-chunk relative quantile (chunk-boundary banding).
+UNC_LOG_MIN = -3.0
+UNC_LOG_MAX = 6.0
+
+
 def uncertainty_at(points: jnp.ndarray, hessian: jnp.ndarray, cfg: ModelConfig,
                    lod: int, n_samples: int, lambda_reg: float = 1e-4
                    ) -> jnp.ndarray:
     """Pointwise uncertainty 1/(H/N + λ), trilinearly interpolated from the
-    grid and log-normalised to [0,1] (output_uncertainty.py:32-76)."""
+    grid; log10-rescaled to [0,1] against the reference's FIXED global
+    bounds [-3, 6] (output_uncertainty.py:32-76), so the same threshold
+    means the same absolute uncertainty in every chunk/batch."""
     shape = points.shape[:-1]
     pos_unit, selector = normalize_points(points.reshape(-1, 3), cfg)
     inds, coeffs = grid_corner_indices(pos_unit, selector, lod)
@@ -171,8 +181,8 @@ def uncertainty_at(points: jnp.ndarray, hessian: jnp.ndarray, cfg: ModelConfig,
         h = h + hessian[inds[corner]] * coeffs[corner]
     unc = 1.0 / (h / n_samples + lambda_reg)
     unc = jnp.log10(unc + 1e-12)
-    unc = unc - unc.min()
-    unc = unc / jnp.maximum(unc.max(), 1e-12)
+    unc = (jnp.clip(unc, UNC_LOG_MIN, UNC_LOG_MAX) - UNC_LOG_MIN) \
+        / (UNC_LOG_MAX - UNC_LOG_MIN)
     return unc.reshape(shape)
 
 

@@ -173,6 +173,88 @@ class TestMergerScoring:
         assert len(set(all_labels)) == 3
 
 
+class TestScaleFactorAndOverlays:
+    """copy_with_scaling + overlay artifacts (≙ merger.py:145-189): labels at
+    full resolution, projections at NeRF training resolution."""
+
+    def _make_tree_with_fullres_labels(self, root: Path, n_cams=2):
+        """Projections 120x120; GT labels 240x240 (2x) both in the cam dirs
+        (stale, mismatched — what a real-data run hits) and in a separate
+        SegmentationLabel dir."""
+        import cv2
+        H = W = 120
+        label_dir = root.parent / "labels"
+        label_dir.mkdir(parents=True, exist_ok=True)
+        for c in range(n_cams):
+            cam_dir = root / f"cam_{c}"
+            cam_dir.mkdir(parents=True, exist_ok=True)
+            label_full = np.zeros((2 * H, 2 * W), np.uint8)
+            for i in range(2):
+                center = (30 + 25 * i, 60)
+                img = np.zeros((H, W), np.uint8)
+                cv2.circle(img, center, 14, 255, -1)
+                cv2.imwrite(str(cam_dir / f"wo_occ_cluster_{i}.png"), img)
+                cv2.imwrite(str(cam_dir / f"visible_cluster_{i}.png"), img)
+                cv2.circle(label_full, (2 * center[0], 2 * center[1]),
+                           32, 1 + i, -1)
+            name = f"frame_{c:04d}.png"
+            cv2.imwrite(str(label_dir / f"label_{name}"), label_full)
+            cv2.imwrite(str(cam_dir / f"label_{name}"), label_full)
+        return label_dir
+
+    def test_copy_with_scaling_preserves_label_ids(self, tmp_path):
+        import cv2
+        from cropnerf_tpu.counting.merger import copy_with_scaling
+        lab = np.zeros((100, 80), np.uint8)
+        cv2.circle(lab, (40, 50), 20, 7, -1)
+        cv2.imwrite(str(tmp_path / "a.png"), lab)
+        copy_with_scaling(tmp_path / "a.png", tmp_path / "b.png", 0.5)
+        out = cv2.imread(str(tmp_path / "b.png"), cv2.IMREAD_GRAYSCALE)
+        assert out.shape == (50, 40)
+        assert set(np.unique(out).tolist()) == {0, 7}  # NN: no invented ids
+
+    def test_scale_factor_fixes_mismatched_resolutions(self, tmp_path):
+        from cropnerf_tpu.counting.merger import prepare_camera_labels
+        sc = tmp_path / "super_cluster_0"
+        label_dir = self._make_tree_with_fullres_labels(sc)
+        cfg = MergerConfig(frame_sampling_interval=1, scale_factor=0.5,
+                           label_dir=label_dir, make_overlays=True)
+        prepare_camera_labels(sc, cfg)
+        props = process_super_cluster(sc, 2, cfg)
+        aff = calc_affinity(props)
+        # two different instance labels, properly aligned → negative affinity
+        assert aff[0, 1] < 0
+        n, _ = partition(aff, "clique")
+        assert n == 2
+        # overlay debug tree appeared, one per camera
+        overlays = sorted((sc / "overlay").glob("label_*.png"))
+        assert len(overlays) == 2
+        # idempotence: second call is a no-op (overlay/ exists, ≙ :392-393)
+        prepare_camera_labels(sc, cfg)
+
+    def test_mismatched_label_without_scaling_is_padded_not_crash(
+            self, tmp_path):
+        sc = tmp_path / "super_cluster_0"
+        self._make_tree_with_fullres_labels(sc)
+        cfg = MergerConfig(frame_sampling_interval=1)
+        props = process_super_cluster(sc, 2, cfg)  # must not raise
+        assert set(props) == {0, 1}
+
+    def test_count_cli_scale_factor(self, tmp_path):
+        """count_instances end-to-end with label refresh + overlays."""
+        sc = tmp_path / "proj" / "super_cluster_0"
+        label_dir = self._make_tree_with_fullres_labels(sc)
+        info = np.array([
+            {"aabb": np.zeros((2, 2, 3)),
+             "pcd": {0: np.zeros((4, 3)), 1: np.zeros((4, 3))}},
+        ], dtype=object)
+        cfg = MergerConfig(frame_sampling_interval=1, scale_factor=0.5,
+                           label_dir=label_dir, make_overlays=True)
+        result = count_instances(tmp_path / "proj", info, cfg)
+        assert result.total_count == 2
+        assert (sc / "overlay").exists()
+
+
 class TestPly:
     def test_roundtrip(self, tmp_path):
         pts = np.random.RandomState(0).rand(50, 3).astype(np.float32)
