@@ -9,18 +9,22 @@ Done (2026-08-18):
     ms/step (1.61x) on v5e → base + tiny presets now default remat=False
     (models/config.py).
 
+Done (2026-08-18 pm, device_get sync protocol — see benchmarks/README.md):
+  * Re-measured everything: all round-1 numbers were dispatch-latency
+    illusions.  Hash base step 5.0 s → 2.29 s with the flat-scatter VJP;
+    gather/scatter row costs quantified; cropnerf-mxu flagship 35 ms/step
+    (117 k rays/s); mxu converges on-chip (PSNR 27.7 @ 2 k steps).
+  * packed vs dense layout: 4.61 vs 5.30 s/step (pre-flat-scatter).
+  * prop no-grad cond: 5.04 vs 5.30 s/step (dense layout, pre-flat-scatter).
+
 Pending:
-  * RE-MEASURE EVERYTHING with the device_get protocol (bench.py
-    _time_step): block_until_ready is a no-op through axon (CLAUDE.md),
-    so ALL pre-2026-08-18-pm numbers (6.2-6.6 M rays/s, remat A/B, scan
-    A/B) are max(dispatch-latency, device-time) and may be wrong in
-    either direction.
-  * bench.py --breakdown on chip (full / sgd / forward-only ms/step).
-  * A/B at the base config with the sync-robust protocol:
-    (a) packed vs dense table layout; (b) proposal_no_grad_schedule
-    on/off; (c) FieldConfig.mlp_impl xla vs pallas in the FULL step.
-  * steps_per_dispatch (lax.scan) A/B with full final-state
-    materialisation (supersedes the earlier async-artifact numbers).
+  * mxu remaining ~35 ms budget: profile VPU mask-reduce cost in
+    sample_pdf/interlevel vs matmuls; consider bf16 compare operands,
+    wider field (hidden 512) if matmul-bound headroom exists.
+  * FieldConfig.mlp_impl xla vs pallas A/B inside the FULL mxu step.
+  * hash path: cell-packed dense-level rows (8x fewer gathers) if the
+    hash presets' on-chip speed ever matters beyond parity.
+  * mxu vs hash PSNR parity on real 3DCotton data (needs the dataset).
 """
 import time, sys
 sys.path.insert(0, "/root/repo")

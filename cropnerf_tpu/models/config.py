@@ -58,12 +58,18 @@ class FieldConfig:
 @dataclasses.dataclass(frozen=True)
 class ProposalFieldConfig:
     """HashMLPDensityField args (nerfacto proposal_net_args_list defaults,
-    inherited by the base preset; big/huge override, fruit_nerf_config.py:90-97,147-155)."""
+    inherited by the base preset; big/huge override, fruit_nerf_config.py:90-97,147-155).
+
+    ``field_type="pe"`` swaps the hash grid for a positional-encoding MLP
+    density net — gather-free, all MXU matmuls (the TPU-native choice; v5e
+    random-access gathers cost ~7 ns/row, see ops/hashgrid.py)."""
+    field_type: str = "hash"            # "hash" | "pe"
     grid: HashGridConfig = HashGridConfig(num_levels=5, log2_hashmap_size=17,
                                           max_res=128)
     hidden_dim: int = 16
     num_layers: int = 2
     use_linear: bool = False
+    pe_freqs: int = 5
 
 
 @dataclasses.dataclass(frozen=True)
@@ -216,9 +222,9 @@ def train_config_from_dict(d: dict) -> "TrainConfig":
 
 PRESETS = {
     # ≙ fruit_nerf (fruit_nerf_config.py:29-65).  remat off: at 4096 rays ×
-    # ~400 samples the stored activations fit HBM comfortably and skipping
-    # the backward recompute is 1.61x faster on v5e (measured 2026-08-18:
-    # 0.830 vs 1.335 ms/step); -big/-huge keep remat for memory headroom.
+    # ~400 samples the stored activations fit HBM comfortably; with remat
+    # the backward would redo the hash gathers, which dominate this preset
+    # on v5e (benchmarks/README.md "random-access wall").
     "cropnerf": TrainConfig(model=ModelConfig(remat=False)),
     # ≙ fruit_nerf_big (:68-119): RAdam, prop nets at constant lr
     # (scheduler=None, :101-103), fields decay to 1e-4 over 50k (:104-106)
@@ -239,6 +245,30 @@ PRESETS = {
     # (fruit_field.py:311-411, FruitModelMLP stub fruit_nerf.py:705-706)
     "semantic-nerf": TrainConfig(
         model=ModelConfig(field=FieldConfig(field_type="vanilla"))),
+    # TPU-native flagship: gather-free MXU field.  v5e has no vectorized
+    # gather (random HBM access ≈ 7 ns/row; the base hash preset's 166M
+    # accesses/step floor at ~1 s/step, benchmarks/README.md), so the
+    # performance preset replaces hash tables with positional-encoding
+    # MLPs end-to-end — every FLOP a dense matmul the MXU tiles.  Same
+    # sampling, renderer, losses, heads, and pipeline as `cropnerf`.
+    "cropnerf-mxu": TrainConfig(
+        model=ModelConfig(
+            field=FieldConfig(field_type="vanilla", hidden_dim=256,
+                              geo_feat_dim=15, hidden_dim_color=64,
+                              hidden_dim_semantics=64),
+            proposal_fields=(
+                ProposalFieldConfig(field_type="pe", hidden_dim=64,
+                                    num_layers=3, pe_freqs=5),
+                ProposalFieldConfig(field_type="pe", hidden_dim=64,
+                                    num_layers=3, pe_freqs=6),
+            ),
+            remat=False,
+        ),
+        # PE-MLP stability: the hash presets' Adam(1e-2, eps 1e-15) diverges
+        # on deep PE MLPs (measured on-chip); mip-NeRF-class settings
+        learning_rate=1e-3, lr_final=1e-5, lr_decay_max_steps=50_000,
+        prop_learning_rate=1e-3, prop_lr_final=1e-5,
+        prop_lr_decay_max_steps=50_000, adam_eps=1e-8),
     # tiny CPU-runnable preset for tests / CI (no reference analogue)
     "cropnerf-tiny": TrainConfig(
         model=ModelConfig(

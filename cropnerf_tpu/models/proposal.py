@@ -21,9 +21,14 @@ from .config import ProposalFieldConfig
 
 def proposal_init(key: jax.Array, cfg: ProposalFieldConfig) -> Dict:
     k_grid, k_mlp = jax.random.split(key)
+    num_layers = 1 if cfg.use_linear else cfg.num_layers
+    if cfg.field_type == "pe":
+        # gather-free PE-MLP density net (MXU-only; TPU-native flagship)
+        pe_dim = 3 * (2 * cfg.pe_freqs + 1)
+        return {"mlp": mlp_init(k_mlp, pe_dim, cfg.hidden_dim, 1,
+                                max(num_layers, 2))}
     g = cfg.grid
     grid_dim = g.num_levels * g.features_per_level
-    num_layers = 1 if cfg.use_linear else cfg.num_layers
     res = level_resolutions(g.num_levels, g.min_res, g.max_res)
     grid = (hashgrid_init_packed(k_grid, res, g.features_per_level,
                                  g.log2_hashmap_size)
@@ -47,6 +52,11 @@ def proposal_density(params: Dict, positions: jnp.ndarray,
         unit = spatial.aabb_to_unit(positions, aabb)
     selector = spatial.unit_selector(unit)
     unit = unit * selector[..., None]
+    if cfg.field_type == "pe":
+        from ..ops.posenc import nerf_encoding
+        enc = nerf_encoding(unit * 2.0 - 1.0, cfg.pe_freqs)
+        h = mlp_apply(params["mlp"], enc)
+        return trunc_exp(h[..., 0]) * selector
     res = level_resolutions(cfg.grid.num_levels, cfg.grid.min_res,
                             cfg.grid.max_res)
     if cfg.grid.impl == "pallas":

@@ -27,24 +27,32 @@ DIR_FREQS = 4
 
 def vanilla_field_init(key: jax.Array, cfg: FieldConfig,
                        num_images: int) -> Dict:
-    del num_images
-    k_base, k_top, k_color, k_sem = jax.random.split(key, 4)
+    k_base, k_top, k_color, k_sem, k_app = jax.random.split(key, 5)
     pos_dim = 3 * (2 * POS_FREQS + 1)
     dir_dim = 3 * (2 * DIR_FREQS + 1)
     hidden = max(cfg.hidden_dim, 64)
-    return {
+    params = {
         # base MLP (first half, before the skip)
         "mlp_base": mlp_init(k_base, pos_dim, hidden, hidden, 4),
         # second half takes [h, posenc] (skip connection) → 1 + geo_feat
         "mlp_top": mlp_init(k_top, hidden + pos_dim, hidden,
                             1 + cfg.geo_feat_dim, 4),
-        "mlp_color": mlp_init(k_color, cfg.geo_feat_dim + dir_dim,
-                              cfg.hidden_dim_color, 3, 2),
+        "mlp_color": mlp_init(
+            k_color,
+            cfg.geo_feat_dim + dir_dim + cfg.appearance_embedding_dim,
+            cfg.hidden_dim_color, 3, 2),
         "mlp_semantic": mlp_init(k_sem, cfg.geo_feat_dim,
                                  cfg.hidden_dim_semantics,
                                  cfg.num_semantic_classes,
                                  cfg.num_layers_semantic),
     }
+    if cfg.appearance_embedding_dim:
+        # per-image appearance code (exposure/white-balance variation on
+        # real captures) — same semantics as the hash field's embedding
+        # (fruit_field.py:109, :251-261)
+        params["appearance"] = jax.random.normal(
+            k_app, (num_images, cfg.appearance_embedding_dim)) * 0.1
+    return params
 
 
 def vanilla_field_density(params: Dict, positions: jnp.ndarray,
@@ -68,11 +76,22 @@ def vanilla_field_density(params: Dict, positions: jnp.ndarray,
 def vanilla_field_rgb(params: Dict, geo: jnp.ndarray,
                       directions: jnp.ndarray, camera_idx: jnp.ndarray,
                       cfg: FieldConfig, train: bool) -> jnp.ndarray:
-    del camera_idx, train
     enc = nerf_encoding(directions, DIR_FREQS)
     enc = jnp.broadcast_to(enc[..., None, :],
                            geo.shape[:-1] + (enc.shape[-1],))
-    h = jnp.concatenate([geo, enc], axis=-1)
+    parts = [geo, enc]
+    if cfg.appearance_embedding_dim:
+        app_table = params["appearance"]
+        if train:
+            app = app_table[camera_idx]
+        elif cfg.use_average_appearance_embedding:
+            app = jnp.broadcast_to(jnp.mean(app_table, axis=0),
+                                   (camera_idx.shape[0], app_table.shape[1]))
+        else:
+            app = jnp.zeros((camera_idx.shape[0], app_table.shape[1]))
+        parts.append(jnp.broadcast_to(app[..., None, :],
+                                      geo.shape[:-1] + (app.shape[-1],)))
+    h = jnp.concatenate(parts, axis=-1)
     return mlp_apply(params["mlp_color"], h, output_activation=jax.nn.sigmoid)
 
 

@@ -46,14 +46,22 @@ def _outer_measure(t0_starts, t0_ends, t1_starts, t1_ends, y1):
     """
     cy1 = jnp.concatenate(
         [jnp.zeros_like(y1[..., :1]), jnp.cumsum(y1, axis=-1)], axis=-1)
-    # searchsorted as comparison-sums (fused on the VPU).
-    idx_lo = jnp.sum((t1_starts[..., None, :] <= t0_starts[..., :, None]),
-                     axis=-1) - 1
-    idx_lo = jnp.clip(idx_lo, 0, y1.shape[-1] - 1)
-    idx_hi = jnp.sum((t1_ends[..., None, :] <= t0_ends[..., :, None]), axis=-1)
-    idx_hi = jnp.clip(idx_hi, 0, y1.shape[-1] - 1)
-    cy1_lo = jnp.take_along_axis(cy1[..., :-1], idx_lo, axis=-1)
-    cy1_hi = jnp.take_along_axis(cy1[..., 1:], idx_hi, axis=-1)
+    M = y1.shape[-1]
+    # Gather-free lookup: t1_* are ascending, so the <=-masks are prefix-
+    # true and the indexed cumsum values are masked max-reductions (pure
+    # VPU, fused; take_along_axis over lanes costs ~6 ns/element on v5e and
+    # its transpose is a scatter in the backward).
+    #   idx_lo = clip(#(t1_starts <= t0_start) - 1, 0);  cy1[idx_lo]
+    #     = max over masked j of cy1[j], 0 when the mask is empty (cy1[0]=0)
+    mask_lo = t1_starts[..., None, :] <= t0_starts[..., :, None]  # [R, N, M]
+    cy1_lo = jnp.max(jnp.where(mask_lo, cy1[..., None, :-1], 0.0), axis=-1)
+    #   idx_hi = clip(#(t1_ends <= t0_end), 0, M-1);  cy1[idx_hi + 1]
+    #     = max over masked j of cy1[min(j+2, M)] (ascending ⇒ max = last),
+    #       cy1[1] when the mask is empty
+    z = jnp.concatenate([cy1[..., 2:], cy1[..., -1:]], axis=-1)   # [R, M]
+    mask_hi = t1_ends[..., None, :] <= t0_ends[..., :, None]      # [R, N, M]
+    cy1_hi = jnp.max(jnp.where(mask_hi, z[..., None, :],
+                               cy1[..., None, 1:2]), axis=-1)
     return cy1_hi - cy1_lo
 
 

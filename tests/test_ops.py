@@ -246,6 +246,46 @@ class TestDenseIndexing:
         assert float(jnp.abs(dense - hashed).max()) > 0  # different rows
 
 
+class TestCustomVjpEncode:
+    """The production encode's flat-scatter backward must be gradient-
+    identical to plain autodiff of the reference implementation (the TPU
+    [T,F]-scatter transpose is ~10x slower; see ops/hashgrid.py)."""
+
+    @pytest.mark.parametrize("hash_mode", ["auto", "hash"])
+    @pytest.mark.parametrize("layout", ["dense", "packed"])
+    def test_grads_match_reference_autodiff(self, hash_mode, layout):
+        from cropnerf_tpu.ops.hashgrid import (hashgrid_encode,
+                                               hashgrid_encode_ref,
+                                               hashgrid_init_packed,
+                                               level_resolutions)
+        res = level_resolutions(4, 4, 64)
+        T = 2 ** 10
+        if layout == "packed":
+            table = hashgrid_init_packed(jax.random.PRNGKey(0), res, 2, 10,
+                                         hash_mode=hash_mode)
+        else:
+            table = hashgrid_init(jax.random.PRNGKey(0), 4, 2, 10)
+        pos = jax.random.uniform(jax.random.PRNGKey(1), (64, 3),
+                                 minval=0.01, maxval=0.99)
+        w = jax.random.normal(jax.random.PRNGKey(2), (64, 8))
+
+        def loss(fn, t, p):
+            return jnp.sum(fn(t, p, res, hash_mode, T) * w)
+
+        out_opt = hashgrid_encode(table, pos, res, hash_mode, T)
+        out_ref = hashgrid_encode_ref(table, pos, res, hash_mode, T)
+        np.testing.assert_allclose(np.asarray(out_opt), np.asarray(out_ref),
+                                   atol=1e-6)
+        gt_o, gp_o = jax.grad(lambda t, p: loss(hashgrid_encode, t, p),
+                              argnums=(0, 1))(table, pos)
+        gt_r, gp_r = jax.grad(lambda t, p: loss(hashgrid_encode_ref, t, p),
+                              argnums=(0, 1))(table, pos)
+        np.testing.assert_allclose(np.asarray(gt_o), np.asarray(gt_r),
+                                   atol=1e-5, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(gp_o), np.asarray(gp_r),
+                                   atol=1e-4, rtol=1e-3)
+
+
 class TestPackedLayout:
     """Packed [sum(rows_l), F] layout (tcnn allocation parity): per-level
     rows = min(T, (res+1)^3)."""
