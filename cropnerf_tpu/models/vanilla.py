@@ -67,8 +67,10 @@ def vanilla_field_density(params: Dict, positions: jnp.ndarray,
     selector = spatial.unit_selector(unit)
     unit = unit * selector[..., None]
     enc = nerf_encoding(unit * 2.0 - 1.0, POS_FREQS)
-    h = mlp_apply(params["mlp_base"], enc, output_activation=jax.nn.relu)
-    h = mlp_apply(params["mlp_top"], jnp.concatenate([h, enc], axis=-1))
+    h = mlp_apply(params["mlp_base"], enc, output_activation=jax.nn.relu,
+                  impl=cfg.mlp_impl)
+    h = mlp_apply(params["mlp_top"], jnp.concatenate([h, enc], axis=-1),
+                  impl=cfg.mlp_impl)
     density = trunc_exp(h[..., 0]) * selector
     return density, h[..., 1:]
 
@@ -92,11 +94,12 @@ def vanilla_field_rgb(params: Dict, geo: jnp.ndarray,
         parts.append(jnp.broadcast_to(app[..., None, :],
                                       geo.shape[:-1] + (app.shape[-1],)))
     h = jnp.concatenate(parts, axis=-1)
-    return mlp_apply(params["mlp_color"], h, output_activation=jax.nn.sigmoid)
+    return mlp_apply(params["mlp_color"], h, output_activation=jax.nn.sigmoid,
+                     impl=cfg.mlp_impl)
 
 
 def vanilla_field_semantics(params: Dict, geo: jnp.ndarray, cfg: FieldConfig,
                             pass_gradients: bool = False) -> jnp.ndarray:
     if not pass_gradients:
         geo = jax.lax.stop_gradient(geo)
-    return mlp_apply(params["mlp_semantic"], geo)
+    return mlp_apply(params["mlp_semantic"], geo, impl=cfg.mlp_impl)

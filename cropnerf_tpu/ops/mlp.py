@@ -50,6 +50,8 @@ def mlp_apply(params: dict, x: jnp.ndarray,
     """
     ws, bs = params["w"], params["b"]
     n = len(ws)
+    if impl == "pallas" and jax.default_backend() != "tpu":
+        impl = "xla"            # Mosaic kernels are TPU-only; tests run CPU
     if impl == "pallas" and hidden_activation is jax.nn.relu and n >= 1:
         from .pallas.fused_mlp import fused_mlp
         batch_shape = x.shape[:-1]

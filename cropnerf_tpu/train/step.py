@@ -205,19 +205,21 @@ def make_sharded_train_step(cfg: TrainConfig, mesh: jax.sharding.Mesh,
                 return loss, aux
 
             (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-            # jax.grad w.r.t. a REPLICATED (P()) input inside shard_map
-            # auto-psums the cotangent to keep it replicated (JAX 0.9 vma
-            # semantics; verified by tests/test_trainer.py grad-equivalence
-            # — an extra pmean here is a no-op on the already-replicated
-            # value and silently leaves the grads summed, not averaged).
-            # The DDP mean is therefore sum/ndev:
-            grads = jax.tree.map(lambda g: g / ndev, grads)
-            return grads, jax.lax.pmean(aux, "data")
+            # Classical DDP semantics (check_vma=False below): jax.grad
+            # yields the LOCAL per-device cotangent and the pmean is the
+            # real collective.  (With check_vma=True, JAX 0.9 auto-psums
+            # the cotangent of the replicated params — an extra pmean is
+            # then a silent no-op that leaves grads SUMMED, the bug the
+            # replay oracle in train/debug.py caught — and its vma tracking
+            # rejects the prop-schedule lax.cond with custom_vjp residuals
+            # ("mismatched varying manual axes").)
+            return jax.lax.pmean(grads, "data"), jax.lax.pmean(aux, "data")
 
         grads, aux = jax.shard_map(
             local_grads, mesh=mesh,
             in_specs=(P(), P("data"), P("data"), P(), P(), P()),
             out_specs=(P(), P()),
+            check_vma=False,
         )(state.params, bank.rgb, bank.mask, bank.cameras, state.step, key)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
