@@ -56,6 +56,11 @@ def _add_train(sub):
                         "(lax.scan); keeps training compute-bound when "
                         "host dispatch latency rivals the step time. "
                         "Cadences (log/eval/save) must be multiples of K")
+    p.add_argument("--mask-threshold", default=None,
+                   help="semantic-label binarisation: an int grayscale "
+                        "threshold (default 3, the Cotton loader) or "
+                        "'fruit' for the FruitDataset per-extension "
+                        "dispatch (.jpg → 125, else any nonzero)")
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in --output")
 
@@ -87,11 +92,18 @@ def _cmd_train(args):
     if args.shard_bank != "auto" and mesh is None:
         raise SystemExit("--shard-bank requires --multichip (and >1 device)")
     shard_bank = {"auto": None, "on": True, "off": False}[args.shard_bank]
+    from .data.dataset import SEMANTIC_THRESHOLD
+    thr = args.mask_threshold
+    if thr is None:
+        thr = SEMANTIC_THRESHOLD
+    elif thr != "fruit":
+        thr = int(thr)
     trainer = Trainer(cfg, data_cfg, args.output, mesh=mesh,
                       experiment_name=args.experiment_name,
                       resume=args.resume,
                       shard_bank=shard_bank,
-                      steps_per_dispatch=args.steps_per_dispatch)
+                      steps_per_dispatch=args.steps_per_dispatch,
+                      semantic_threshold=thr)
     trainer.install_signal_handlers()
     metrics = trainer.train(num_steps=args.max_steps)
     print(json.dumps({k: v for k, v in metrics.items()}, default=float))

@@ -18,6 +18,19 @@ from .dataparser import DataparserOutputs
 SEMANTIC_THRESHOLD = 3   # cotton_dataset.py:36: grayscale > 3 → crop
 
 
+def resolve_semantic_threshold(path: Path, threshold) -> int:
+    """Resolve a threshold spec to an int for one label file.
+
+    ``"fruit"`` selects the alternate ``FruitDataset`` per-extension dispatch
+    (data/fruit_dataset.py:48-53): ``.jpg``/``.jpeg`` labels binarise at 125
+    (JPEG block noise around the mask edges), anything else is an exact
+    {0, 255} (or {0, 1}) label image → any nonzero value is crop."""
+    if threshold == "fruit":
+        suffix = Path(path).suffix.lower()
+        return 125 if suffix in (".jpg", ".jpeg") else 0
+    return int(threshold)
+
+
 def load_image(path: Path, downscale: int = 1) -> np.ndarray:
     """RGB uint8 [H, W, 3]; integer-factor downscale by PIL bilinear resize
     (the reference's ns downscale pipeline pre-generates images_2/ etc.; we
@@ -33,15 +46,17 @@ def load_image(path: Path, downscale: int = 1) -> np.ndarray:
 
 def load_semantic_mask(path: Path, downscale: int = 1,
                        shape: Tuple[int, int] | None = None,
-                       threshold: int = SEMANTIC_THRESHOLD) -> np.ndarray:
+                       threshold: int | str = SEMANTIC_THRESHOLD) -> np.ndarray:
     """Binary {0,1} uint8 mask [H, W] (get_object_semantics,
-    cotton_dataset.py:34-39: grayscale, threshold > 3; the alternate
-    FruitDataset jpg loader uses 125, data/fruit_dataset.py:31-57 — pass
-    ``threshold=125`` for that variant).  Missing files yield an all-zero
-    mask (datasets without segmentation still train RGB)."""
+    cotton_dataset.py:34-39: grayscale, threshold > 3; pass
+    ``threshold="fruit"`` for the alternate FruitDataset per-extension
+    dispatch, data/fruit_dataset.py:31-57, or an explicit int).  Missing
+    files yield an all-zero mask (datasets without segmentation still
+    train RGB)."""
     if not Path(path).exists():
         assert shape is not None
         return np.zeros(shape, np.uint8)
+    threshold = resolve_semantic_threshold(path, threshold)
     img = Image.open(path).convert("L")
     if downscale > 1:
         img = img.resize((img.width // downscale, img.height // downscale),
@@ -51,7 +66,7 @@ def load_semantic_mask(path: Path, downscale: int = 1,
 
 
 def load_split(outputs: DataparserOutputs,
-               semantic_threshold: int = SEMANTIC_THRESHOLD,
+               semantic_threshold: int | str = SEMANTIC_THRESHOLD,
                indices=None) -> Tuple[np.ndarray, np.ndarray]:
     """Load all images + masks of a split → ([N,H,W,3] u8, [N,H,W] u8).
 

@@ -70,6 +70,10 @@ class ProposalFieldConfig:
     num_layers: int = 2
     use_linear: bool = False
     pe_freqs: int = 5
+    # "xla" or "pallas" (fused VMEM-resident MLP) — the proposal nets see
+    # 5x more samples than the final field (256+96 vs 48 per ray), so the
+    # narrow density MLP is HBM-bound under XLA; see benchmarks/README.md
+    mlp_impl: str = "xla"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -55,7 +55,7 @@ def proposal_density(params: Dict, positions: jnp.ndarray,
     if cfg.field_type == "pe":
         from ..ops.posenc import nerf_encoding
         enc = nerf_encoding(unit * 2.0 - 1.0, cfg.pe_freqs)
-        h = mlp_apply(params["mlp"], enc)
+        h = mlp_apply(params["mlp"], enc, impl=cfg.mlp_impl)
         return trunc_exp(h[..., 0]) * selector
     res = level_resolutions(cfg.grid.num_levels, cfg.grid.min_res,
                             cfg.grid.max_res)
@@ -66,5 +66,5 @@ def proposal_density(params: Dict, positions: jnp.ndarray,
     else:
         feats = hashgrid_encode(params["grid"], unit, res,
                                 table_size=2 ** cfg.grid.log2_hashmap_size)
-    h = mlp_apply(params["mlp"], feats)
+    h = mlp_apply(params["mlp"], feats, impl=cfg.mlp_impl)
     return trunc_exp(h[..., 0]) * selector

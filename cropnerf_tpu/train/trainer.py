@@ -23,7 +23,7 @@ import numpy as np
 from ..core.cameras import Cameras
 from ..data.databank import PixelBank, build_pixel_bank
 from ..data.dataparser import DataparserConfig, DataparserOutputs, parse_transforms
-from ..data.dataset import load_split
+from ..data.dataset import SEMANTIC_THRESHOLD, load_split
 from ..models.config import PRESETS, TrainConfig
 from ..ops import metrics as metric_ops
 from .state import TrainState, create_train_state
@@ -53,7 +53,8 @@ class Trainer:
                  experiment_name: str = "cropnerf", resume: bool = False,
                  shard_bank: Optional[bool] = None,
                  steps_per_dispatch: int = 1,
-                 num_images_override: Optional[int] = None):
+                 num_images_override: Optional[int] = None,
+                 semantic_threshold: "int | str" = SEMANTIC_THRESHOLD):
         from ..utils.cache import enable_compilation_cache
         enable_compilation_cache()
         self.cfg = cfg
@@ -68,10 +69,12 @@ class Trainer:
             shard_bank = mesh is not None and jax.process_count() > 1
         self.shard_bank = bool(shard_bank and mesh is not None)
 
+        self.semantic_threshold = semantic_threshold
         self.train_outputs = parse_transforms(data_config, "train")
         self.eval_outputs = parse_transforms(data_config, "eval")
         self.bank: PixelBank = self._build_train_bank()
-        self.eval_images, self.eval_masks = load_split(self.eval_outputs)
+        self.eval_images, self.eval_masks = load_split(
+            self.eval_outputs, semantic_threshold=semantic_threshold)
         self.eval_cameras = cameras_from_outputs(self.eval_outputs)
 
         # eval ray-batch pipeline (≙ next_eval + eval-batch losses every
@@ -126,7 +129,9 @@ class Trainer:
 
     def _build_train_bank(self) -> PixelBank:
         if not self.shard_bank:
-            images, masks = load_split(self.train_outputs)
+            images, masks = load_split(
+                self.train_outputs,
+                semantic_threshold=self.semantic_threshold)
             return build_pixel_bank(
                 images, masks, cameras_from_outputs(self.train_outputs))
         # Sharded bank: pad the frame list to the mesh size, load only this
@@ -137,7 +142,8 @@ class Trainer:
         n_pad = padded_num_images(n, self.mesh.size)
         sel = np.arange(n_pad) % n
         lo, hi = process_image_range(n_pad)
-        images, masks = load_split(self.train_outputs, indices=sel[lo:hi])
+        images, masks = load_split(self.train_outputs, indices=sel[lo:hi],
+                                   semantic_threshold=self.semantic_threshold)
         cams = pad_cameras(cameras_from_outputs(self.train_outputs),
                            self.mesh.size)
         return build_sharded_pixel_bank(images, masks, cams, self.mesh)
@@ -164,6 +170,7 @@ class Trainer:
             "experiment_name": self.experiment_name,
             "num_train_images": self.num_train_images,
             "shard_bank": self.shard_bank,
+            "semantic_threshold": self.semantic_threshold,
             "config": dataclasses.asdict(self.cfg),
             "data_config": {k: str(v) for k, v in
                             dataclasses.asdict(self.data_config).items()},
@@ -355,7 +362,9 @@ def load_trainer_from_run(run_dir: Path,
         semantic_dir=dc["semantic_dir"])
     trainer = Trainer(cfg, data_config, run_dir, mesh=mesh,
                       experiment_name=meta.get("experiment_name", "cropnerf"),
-                      num_images_override=meta.get("num_train_images"))
+                      num_images_override=meta.get("num_train_images"),
+                      semantic_threshold=meta.get("semantic_threshold",
+                                                  SEMANTIC_THRESHOLD))
     ckpts = sorted((run_dir / "checkpoints").glob("step-*"))
     if ckpts:
         trainer.load_checkpoint(ckpts[-1])
