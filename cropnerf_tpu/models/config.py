@@ -45,9 +45,11 @@ class FieldConfig:
     num_layers_semantic: int = 2
     hidden_dim_semantics: int = 64
     num_semantic_classes: int = 1
-    # "xla" (each layer one MXU matmul, XLA-fused) or "pallas" (fully-fused
-    # kernel, activations resident in VMEM — ops/pallas/fused_mlp.py); A/B'd
-    # on v5e in benchmarks/README.md
+    # "xla" (each layer one MXU matmul, XLA-fused), "pallas" (fully-fused
+    # MLP kernel, activations resident in VMEM — ops/pallas/fused_mlp.py),
+    # or "pallas-fused" (vanilla field only: PE encode + base + skip + top
+    # in ONE kernel, ops/pallas/fused_pe_field.py; heads use the plain
+    # fused kernel).  A/B'd on v5e in benchmarks/README.md
     mlp_impl: str = "xla"
     appearance_embedding_dim: int = 32
     use_average_appearance_embedding: bool = True
@@ -255,20 +257,26 @@ PRESETS = {
     # performance preset replaces hash tables with positional-encoding
     # MLPs end-to-end — every FLOP a dense matmul the MXU tiles.  Same
     # sampling, renderer, losses, heads, and pipeline as `cropnerf`.
-    # mlp_impl="pallas": the fused VMEM-resident MLP kernel measures 25.7 vs
-    # 33.1 ms/step for the full train step on v5e (A/B 2026-08-18; falls
-    # back to XLA off-TPU)
+    # mlp_impl="pallas-fused": ONE kernel for PE encode + trunk + colour +
+    # semantic heads (ops/pallas/fused_pe_field.py) — full-step A/B on v5e
+    # 2026-08-19: 21.5 ms (pallas-fused) vs 24.5 (split pallas kernels) vs
+    # 33.1 (XLA).  Falls back to an equivalent jnp path off-TPU.
     "cropnerf-mxu": TrainConfig(
         model=ModelConfig(
             field=FieldConfig(field_type="vanilla", hidden_dim=256,
                               geo_feat_dim=15, hidden_dim_color=64,
-                              hidden_dim_semantics=64, mlp_impl="pallas"),
+                              hidden_dim_semantics=64,
+                              mlp_impl="pallas-fused"),
             proposal_fields=(
                 ProposalFieldConfig(field_type="pe", hidden_dim=64,
                                     num_layers=3, pe_freqs=5),
                 ProposalFieldConfig(field_type="pe", hidden_dim=64,
                                     num_layers=3, pe_freqs=6),
             ),
+            # measured on v5e (benchmarks/profile_components.py): the
+            # lax.cond dispatch costs ~0.7 ms/step MORE than the PE prop-net
+            # backward it skips — worthwhile only for hash prop nets
+            proposal_no_grad_schedule=False,
             remat=False,
         ),
         # PE-MLP stability: the hash presets' Adam(1e-2, eps 1e-15) diverges

@@ -110,6 +110,25 @@ def field_semantics(params: Dict, geo: jnp.ndarray, cfg: FieldConfig,
     return mlp_apply(params["semantic_head"], h)
 
 
+def field_all(params: Dict, positions: jnp.ndarray, directions: jnp.ndarray,
+              camera_idx: jnp.ndarray, cfg: FieldConfig, train: bool,
+              pass_sem_grads: bool = False
+              ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(density, rgb, semantic logits) for one sample batch — the train-path
+    field evaluation (≙ FruitField.forward's combined heads,
+    fruit_field.py:271-302).  For the vanilla field with
+    ``mlp_impl="pallas-fused"`` this is a single fused kernel; otherwise it
+    composes the split functions."""
+    if cfg.field_type == "vanilla":
+        from .vanilla import vanilla_field_all
+        return vanilla_field_all(params, positions, directions, camera_idx,
+                                 cfg, train, pass_sem_grads)
+    density, geo = field_density(params, positions, cfg)
+    rgb = field_rgb(params, geo, directions, camera_idx, cfg, train)
+    sem = field_semantics(params, geo, cfg, pass_sem_grads)
+    return density, rgb, sem
+
+
 def field_rgb(params: Dict, geo: jnp.ndarray, directions: jnp.ndarray,
               camera_idx: jnp.ndarray, cfg: FieldConfig,
               train: bool) -> jnp.ndarray:

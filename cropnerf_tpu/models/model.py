@@ -25,7 +25,8 @@ from ..ops import pdf as pdf_ops
 from ..ops import render as render_ops
 from .camera_opt import apply_to_raybundle, camera_opt_init
 from .config import ModelConfig
-from .field import field_density, field_init, field_rgb, field_semantics
+from .field import (field_all, field_density, field_init, field_rgb,
+                    field_semantics)
 from .proposal import proposal_density, proposal_init
 
 
@@ -141,12 +142,8 @@ def forward(params: Dict, ray_bundle: RayBundle, cfg: ModelConfig,
         density_hook=density_hook)
 
     def field_eval(fparams, positions, directions, camera_idx):
-        density, geo = field_density(fparams, positions, cfg.field)
-        rgb_s = field_rgb(fparams, geo, directions, camera_idx, cfg.field,
-                          train)
-        sem_s = field_semantics(fparams, geo, cfg.field,
-                                cfg.pass_semantic_gradients)
-        return density, rgb_s, sem_s
+        return field_all(fparams, positions, directions, camera_idx,
+                         cfg.field, train, cfg.pass_semantic_gradients)
 
     if cfg.remat:
         field_eval = jax.checkpoint(field_eval)

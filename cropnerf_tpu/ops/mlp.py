@@ -50,6 +50,9 @@ def mlp_apply(params: dict, x: jnp.ndarray,
     """
     ws, bs = params["w"], params["b"]
     n = len(ws)
+    if impl == "pallas-fused":
+        impl = "pallas"         # the PE-fused trunk knob; plain heads use
+                                # the ordinary fused-MLP kernel
     if impl == "pallas" and jax.default_backend() != "tpu":
         impl = "xla"            # Mosaic kernels are TPU-only; tests run CPU
     if impl == "pallas" and hidden_activation is jax.nn.relu and n >= 1:
