@@ -14,6 +14,7 @@ sys.path.insert(0, "/root/repo")
 
 
 def main() -> None:
+    # each arg: FIELD_IMPL or FIELD_IMPL:PROP_IMPL
     impls = [a for a in sys.argv[1:] if not a.startswith("-")] or \
         ["pallas", "pallas-fused"]
     import jax
@@ -23,13 +24,18 @@ def main() -> None:
 
     cfg0 = PRESETS["cropnerf-mxu"]
     bank, n_img = _make_bank()
-    for impl in impls:
+    for spec in impls:
+        impl, _, prop_impl = spec.partition(":")
+        prop_impl = prop_impl or cfg0.model.proposal_fields[0].mlp_impl
         cfg = dataclasses.replace(
             cfg0, model=dataclasses.replace(
-                cfg0.model, field=dataclasses.replace(
-                    cfg0.model.field, mlp_impl=impl)))
+                cfg0.model,
+                field=dataclasses.replace(cfg0.model.field, mlp_impl=impl),
+                proposal_fields=tuple(
+                    dataclasses.replace(p, mlp_impl=prop_impl)
+                    for p in cfg0.model.proposal_fields)))
         rays_per_s, ms = measure(cfg, bank, n_img)
-        print(f"mlp_impl={impl:14s} {ms:8.3f} ms/step   "
+        print(f"field={impl:14s} prop={prop_impl:14s} {ms:8.3f} ms/step   "
               f"{rays_per_s:,.0f} rays/s", flush=True)
         jax.clear_caches()
 

@@ -138,6 +138,49 @@ def main() -> None:
 
     timed("resample 256->96 (inc spaced)", resample1)
 
+    # 4b. prop sampling fw+bw (grad wrt prop params through the interlevel
+    # path: weights_list feeds the loss; resamples use stop_gradient)
+    from cropnerf_tpu.ops.losses import interlevel_loss
+
+    def prop_loss(pp, k):
+        rb, _ = make_rb(k)
+        merged = {**params, **pp}
+        samples, wl, sl = _proposal_sampling(merged, rb, m, k, True, 1.0)
+        # close the real grad path: interlevel needs the final level too
+        d = proposal_density(merged["proposal_0"], samples.positions,
+                             m.proposal_fields[0])
+        w = render_ops.render_weights(d, samples.deltas)
+        sdist = jnp.concatenate([samples.spacing_starts,
+                                 samples.spacing_ends[..., -1:]], axis=-1)
+        return interlevel_loss(wl + [w], sl + [sdist])
+
+    pp0 = {k: params[k] for k in params if k.startswith("proposal")}
+
+    def prop_fwbw(c, k):
+        g = jax.grad(prop_loss)(pp0, k)
+        return c + jax.tree_util.tree_reduce(
+            lambda a, b: a + jnp.sum(jnp.abs(b)) * 1e-9, g, 0.0)
+
+    timed("prop sampling+interlevel fw+bw", prop_fwbw)
+
+    # 4c. one PDF resample fw+bw (grad wrt the weights histogram)
+    def resample_loss(w, k):
+        rb, _ = make_rb(k)
+        s = pdf_ops.sample_spaced(k, rb, 256, spacing, True, True)
+        sdist = jnp.concatenate([s.spacing_starts, s.spacing_ends[..., -1:]],
+                                axis=-1)
+        s2 = pdf_ops.sample_pdf(k, rb, sdist, w, 96, spacing, True, True)
+        return jnp.sum(s2.positions) * 1e-6
+
+    w0 = jax.random.uniform(key0 if False else jax.random.PRNGKey(9),
+                            (R, 256))
+
+    def resample_fwbw(c, k):
+        g = jax.grad(resample_loss)(w0 + c * 0.0, k)
+        return c + jnp.sum(jnp.abs(g)) * 1e-6
+
+    timed("resample 256->96 fw+bw", resample_fwbw)
+
     # 5. field eval fw on fixed positions (196k samples)
     key0 = jax.random.PRNGKey(7)
     pos = jax.random.normal(key0, (R, m.num_nerf_samples_per_ray, 3))

@@ -53,9 +53,23 @@ def proposal_density(params: Dict, positions: jnp.ndarray,
     selector = spatial.unit_selector(unit)
     unit = unit * selector[..., None]
     if cfg.field_type == "pe":
-        from ..ops.posenc import nerf_encoding
-        enc = nerf_encoding(unit * 2.0 - 1.0, cfg.pe_freqs)
-        h = mlp_apply(params["mlp"], enc, impl=cfg.mlp_impl)
+        x = unit * 2.0 - 1.0
+        if cfg.mlp_impl == "pallas-fused":
+            # one kernel: encode + MLP (ops/pallas/fused_pe_field.py).  The
+            # narrow net makes VMEM use tiny → large tile amortises grid
+            # overhead (the reason the split fused-MLP kernel lost here)
+            from ..ops.pallas.fused_pe_field import (fused_pe_mlp,
+                                                     pe_selector_matrix)
+            s = jnp.asarray(pe_selector_matrix(cfg.pe_freqs))
+            wbs = []
+            for w, b in zip(params["mlp"]["w"], params["mlp"]["b"]):
+                wbs += [w, b.reshape(1, -1)]
+            h = fused_pe_mlp(x.reshape(-1, 3), s, wbs, cfg.pe_freqs)
+            h = h.reshape(*x.shape[:-1], h.shape[-1])
+        else:
+            from ..ops.posenc import nerf_encoding
+            enc = nerf_encoding(x, cfg.pe_freqs)
+            h = mlp_apply(params["mlp"], enc, impl=cfg.mlp_impl)
         return trunc_exp(h[..., 0]) * selector
     res = level_resolutions(cfg.grid.num_levels, cfg.grid.min_res,
                             cfg.grid.max_res)

@@ -727,3 +727,176 @@ def _mega_bwd(num_freqs, pass_sem_grad, tile_n, interpret, dim, tile_bwd,
 
 
 fused_pe_nerf.defvjp(_mega_fwd, _mega_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Plain fused PE + MLP (no skip, no heads) — the proposal density nets
+# ---------------------------------------------------------------------------
+#
+# The PE proposal nets are narrow (hidden 64) but see 5x more samples than
+# the final field (256+96 vs 48 per ray): under XLA the [N, 33..39] encoding
+# and the [N, 64] hidden slabs round-trip HBM between matmul fusions.  This
+# kernel fuses encode + all layers; the narrow widths make VMEM use tiny, so
+# a LARGE tile (default 4096 rows) amortises grid overhead — the reason the
+# earlier split fused-MLP A/B lost on these nets (1024-row tiles of
+# mostly-padding matmuls).
+
+
+def _plain_fwd_kernel(dim, num_freqs, n_layers, x_ref, s_ref, *refs):
+    out_ref = refs[-1]
+    wbs = refs[:-1]
+    x = x_ref[:].astype(jnp.float32)
+    pre = jnp.dot(x, s_ref[:], preferred_element_type=jnp.float32)
+    h = _encode(pre, dim, num_freqs).astype(jnp.bfloat16)
+    for i in range(n_layers):
+        h = _mm(h, wbs[2 * i][:]) + wbs[2 * i + 1][:]
+        if i < n_layers - 1:
+            h = jnp.maximum(h, 0.0).astype(jnp.bfloat16)
+    out_ref[:] = h.astype(jnp.float32)
+
+
+def _plain_bwd_kernel(dim, num_freqs, n_layers, x_ref, s_ref, *refs):
+    """refs = (wbs…, g, dx, dwbs…)."""
+    wbs = refs[:2 * n_layers]
+    g_ref = refs[2 * n_layers]
+    dx_ref = refs[2 * n_layers + 1]
+    dwbs = refs[2 * n_layers + 2:]
+
+    x = x_ref[:].astype(jnp.float32)
+    pre = jnp.dot(x, s_ref[:], preferred_element_type=jnp.float32)
+    enc = _encode(pre, dim, num_freqs).astype(jnp.bfloat16)
+    acts = [enc]
+    h = enc
+    for i in range(n_layers):
+        h = _mm(h, wbs[2 * i][:]) + wbs[2 * i + 1][:]
+        if i < n_layers - 1:
+            h = jnp.maximum(h, 0.0).astype(jnp.bfloat16)
+            acts.append(h)
+
+    first = pl.program_id(0) == 0
+
+    def acc(slot, val):
+        @pl.when(first)
+        def _():
+            dwbs[slot][:] = val
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            dwbs[slot][:] = dwbs[slot][:] + val
+
+    g = g_ref[:].astype(jnp.float32)
+    for i in reversed(range(n_layers)):
+        a_in = acts[i]
+        dw = jax.lax.dot_general(
+            a_in.astype(jnp.bfloat16), g.astype(jnp.bfloat16),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc(2 * i, dw)
+        acc(2 * i + 1, jnp.sum(g, axis=0, keepdims=True))
+        g = jax.lax.dot_general(
+            g.astype(jnp.bfloat16), wbs[2 * i][:].astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if i > 0:
+            g = jnp.where(a_in.astype(jnp.float32) > 0.0, g, 0.0)
+    d_pre = _encode_bwd(pre, g, dim, num_freqs)
+    dx_ref[:] = jax.lax.dot_general(
+        d_pre, s_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _plain_ref(x, s, wbs, dim, num_freqs):
+    n_layers = len(wbs) // 2
+    pre = jnp.dot(x.astype(jnp.float32), s,
+                  preferred_element_type=jnp.float32)
+    h = _encode(pre, dim, num_freqs).astype(jnp.bfloat16)
+    for i in range(n_layers):
+        h = _mm(h, wbs[2 * i]) + wbs[2 * i + 1]
+        if i < n_layers - 1:
+            h = jnp.maximum(h, 0.0).astype(jnp.bfloat16)
+    return h.astype(jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def fused_pe_mlp(x: jnp.ndarray, s: jnp.ndarray,
+                 wbs: Sequence[jnp.ndarray],
+                 num_freqs: int, tile_n: int = 4096,
+                 interpret: bool = False, dim: int = 3,
+                 tile_bwd: int = 1024) -> jnp.ndarray:
+    """x [N, dim] → encode → relu-hidden linear-out MLP → [N, Dout],
+    one kernel.  wbs = [W0, b0, …] with biases [1, d]."""
+    return _plain_fwd(x, s, wbs, num_freqs, tile_n, interpret, dim,
+                      tile_bwd)[0]
+
+
+def _plain_fwd(x, s, wbs, num_freqs, tile_n, interpret, dim, tile_bwd=1024):
+    res = (x, s, tuple(wbs))
+    N = x.shape[0]
+    if N % tile_n != 0 or N == 0 or (
+            jax.default_backend() != "tpu" and not interpret):
+        return _plain_ref(x, s, wbs, dim, num_freqs), res
+    n_layers = len(wbs) // 2
+    Dout = wbs[-2].shape[1]
+    grid = (N // tile_n,)
+    in_specs = [pl.BlockSpec((tile_n, dim), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(s.shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)]
+    for w in wbs:
+        in_specs.append(pl.BlockSpec(w.shape, lambda i, w=w: (0,) * w.ndim,
+                                     memory_space=pltpu.VMEM))
+    out = pl.pallas_call(
+        functools.partial(_plain_fwd_kernel, dim, num_freqs, n_layers),
+        out_shape=jax.ShapeDtypeStruct((N, Dout), jnp.float32),
+        grid=grid, in_specs=in_specs,
+        out_specs=pl.BlockSpec((tile_n, Dout), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x, s, *wbs)
+    return out, res
+
+
+def _plain_bwd(num_freqs, tile_n, interpret, dim, tile_bwd, res, g):
+    # the recompute-everything backward holds ~2x the forward's slabs in
+    # VMEM; a smaller tile keeps it under the 16 MB scoped-vmem stack limit
+    tile_n = tile_bwd
+    x, s, wbs = res
+    N = x.shape[0]
+    if N % tile_n != 0 or N == 0 or (
+            jax.default_backend() != "tpu" and not interpret):
+        def f(x, wbs):
+            return _plain_ref(x, s, wbs, dim, num_freqs)
+        _, vjp = jax.vjp(f, x, list(wbs))
+        dx, dwbs = vjp(g)
+        return dx, jnp.zeros_like(s), dwbs
+
+    n_layers = len(wbs) // 2
+    Dout = wbs[-2].shape[1]
+    grid = (N // tile_n,)
+    in_specs = [pl.BlockSpec((tile_n, dim), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(s.shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)]
+    for w in wbs:
+        in_specs.append(pl.BlockSpec(w.shape, lambda i, w=w: (0,) * w.ndim,
+                                     memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec((tile_n, Dout), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM))
+    out_shapes = [jax.ShapeDtypeStruct((N, dim), jnp.float32)]
+    out_specs = [pl.BlockSpec((tile_n, dim), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)]
+    for w in wbs:
+        out_shapes.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
+        out_specs.append(pl.BlockSpec(w.shape, lambda i, w=w: (0,) * w.ndim,
+                                      memory_space=pltpu.VMEM))
+    outs = pl.pallas_call(
+        functools.partial(_plain_bwd_kernel, dim, num_freqs, n_layers),
+        out_shape=tuple(out_shapes),
+        grid=grid, in_specs=in_specs, out_specs=tuple(out_specs),
+        interpret=interpret,
+    )(x, s, *wbs, g)
+    return outs[0], jnp.zeros_like(s), list(outs[1:])
+
+
+fused_pe_mlp.defvjp(_plain_fwd, _plain_bwd)

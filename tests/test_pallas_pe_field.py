@@ -212,3 +212,58 @@ def test_vanilla_field_all_fused_matches_split(pass_sem):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=2e-2, rtol=5e-2,
             err_msg=jax.tree_util.keystr(pa))
+
+
+def test_plain_kernel_interpret_matches_fallback():
+    """fused_pe_mlp (proposal-net kernel) Pallas fwd/bwd (interpret) vs the
+    jnp fallback."""
+    from cropnerf_tpu.ops.pallas.fused_pe_field import fused_pe_mlp
+
+    F = 5
+    enc_dim = 3 * (1 + 2 * F)
+    wbs = _wbs(jax.random.PRNGKey(30), [enc_dim, 64, 64, 1])
+    x = jax.random.uniform(jax.random.PRNGKey(31), (256, 3), minval=-1,
+                           maxval=1)
+    s = jnp.asarray(pe_selector_matrix(F))
+
+    def loss(x, wbs, interpret, tile):
+        out = fused_pe_mlp(x, s, wbs, F, tile, interpret, 3, tile)
+        return jnp.sum(jnp.sin(out * 2.0)), out
+
+    (l_r, o_r), g_r = jax.value_and_grad(loss, argnums=(0, 1),
+                                         has_aux=True)(x, wbs, False, 177)
+    (l_k, o_k), g_k = jax.value_and_grad(loss, argnums=(0, 1),
+                                         has_aux=True)(x, wbs, True, 128)
+    np.testing.assert_allclose(np.asarray(o_k), np.asarray(o_r), atol=1e-5,
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_k),
+                    jax.tree_util.tree_leaves(g_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-2,
+                                   rtol=5e-2)
+
+
+def test_proposal_density_pallas_fused_matches_xla():
+    from cropnerf_tpu.models.config import ProposalFieldConfig
+    from cropnerf_tpu.models.proposal import proposal_density, proposal_init
+
+    cfg_x = ProposalFieldConfig(field_type="pe", hidden_dim=64, num_layers=3,
+                                pe_freqs=5, mlp_impl="xla")
+    cfg_f = dataclasses_replace(cfg_x, mlp_impl="pallas-fused")
+    params = proposal_init(jax.random.PRNGKey(40), cfg_x)
+    pos = jax.random.normal(jax.random.PRNGKey(41), (32, 24, 3)) * 0.5
+
+    def loss(params, cfg):
+        return jnp.mean(proposal_density(params, pos, cfg))
+
+    lx, gx = jax.value_and_grad(loss)(params, cfg_x)
+    lf, gf = jax.value_and_grad(loss)(params, cfg_f)
+    np.testing.assert_allclose(float(lf), float(lx), rtol=2e-2, atol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(gf),
+                    jax.tree_util.tree_leaves(gx)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-2,
+                                   rtol=5e-2)
+
+
+def dataclasses_replace(cfg, **kw):
+    import dataclasses
+    return dataclasses.replace(cfg, **kw)
