@@ -8,7 +8,7 @@ HBM access ≈ 7 ns/row), so the reference-parity hash-grid preset is
 latency-floor-bound at ~2.3 s/step (~1.8 k rays/s) no matter how it is
 scheduled; the mxu preset delivers the same pipeline (sampling, heads,
 losses, counting) with gather-free PE-MLP fields that run entirely on the
-MXU — measured 21.5 ms/step (190 k rays/s) at the same 4096-ray batch with
+MXU — measured 20.9 ms/step (196 k rays/s) at the same 4096-ray batch with
 the fused PE-field mega kernel (2026-08-19 A/B).  Both are measured in
 benchmarks/README.md.
 

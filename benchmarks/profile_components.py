@@ -163,6 +163,71 @@ def main() -> None:
 
     timed("prop sampling+interlevel fw+bw", prop_fwbw)
 
+    # 4b-i. prop sampling fw+bw WITHOUT interlevel (grad via sum of weights)
+    # — isolates the prop MLP/encode/render_weights backward
+    def prop_loss_nol(pp, k):
+        rb, _ = make_rb(k)
+        merged = {**params, **pp}
+        _, wl, _ = _proposal_sampling(merged, rb, m, k, True, 1.0)
+        return sum(jnp.sum(w) for w in wl) * 1e-6
+
+    def prop_fwbw_nol(c, k):
+        g = jax.grad(prop_loss_nol)(pp0, k)
+        return c + jax.tree_util.tree_reduce(
+            lambda a, b: a + jnp.sum(jnp.abs(b)) * 1e-9, g, 0.0)
+
+    timed("prop sampling fw+bw (no interlevel)", prop_fwbw_nol)
+
+    # 4b-iii. same but with sample positions stop-gradiented into the prop
+    # nets — isolates the pose-gradient chain (encode bwd + contraction bwd
+    # over 1.44M samples) whose only consumer is the 6-DoF camera optimizer
+    import cropnerf_tpu.models.model as model_mod
+
+    def prop_loss_sg(pp, k):
+        rb, _ = make_rb(k)
+        merged = {**params, **pp}
+        orig = model_mod.proposal_density
+
+        def sg_density(p, x, c, **kw):
+            return orig(p, jax.lax.stop_gradient(x), c, **kw)
+
+        model_mod.proposal_density = sg_density
+        try:
+            _, wl, _ = model_mod._proposal_sampling(merged, rb, m, k, True,
+                                                    1.0)
+        finally:
+            model_mod.proposal_density = orig
+        return sum(jnp.sum(w) for w in wl) * 1e-6
+
+    def prop_fwbw_sg(c, k):
+        g = jax.grad(prop_loss_sg)(pp0, k)
+        return c + jax.tree_util.tree_reduce(
+            lambda a, b: a + jnp.sum(jnp.abs(b)) * 1e-9, g, 0.0)
+
+    timed("prop fw+bw (stop-grad positions)", prop_fwbw_sg)
+
+    # 4b-ii. interlevel loss fw+bw alone on fixed histograms (grad wrt the
+    # proposal weights) — isolates the outer-measure masked reduces
+    key_il = jax.random.PRNGKey(11)
+    wl_fix = [jax.random.uniform(key_il, (R, n))
+              for n in m.num_proposal_samples_per_ray]
+    w_fin = jax.random.uniform(key_il, (R, m.num_nerf_samples_per_ray))
+    sl_fix = [jnp.sort(jax.random.uniform(key_il, (R, n + 1)), axis=-1)
+              for n in m.num_proposal_samples_per_ray]
+    s_fin = jnp.sort(jax.random.uniform(key_il,
+                                        (R, m.num_nerf_samples_per_ray + 1)),
+                     axis=-1)
+
+    def il_loss(wl, k):
+        return interlevel_loss(wl + [w_fin], sl_fix + [s_fin])
+
+    def il_fwbw(c, k):
+        g = jax.grad(il_loss)(
+            jax.tree_util.tree_map(lambda w: w + c * 0.0, wl_fix), k)
+        return c + sum(jnp.sum(jnp.abs(v)) for v in g) * 1e-6
+
+    timed("interlevel loss fw+bw (fixed w)", il_fwbw)
+
     # 4c. one PDF resample fw+bw (grad wrt the weights histogram)
     def resample_loss(w, k):
         rb, _ = make_rb(k)

@@ -590,7 +590,7 @@ def fused_pe_nerf(x: jnp.ndarray, extras: jnp.ndarray, s: jnp.ndarray,
                   sem_wbs: Sequence[jnp.ndarray],
                   num_freqs: int, pass_sem_grad: bool = False,
                   tile_n: int = 1024, interpret: bool = False,
-                  dim: int = 3, tile_bwd: int = 512
+                  dim: int = 3, tile_bwd: int = 768
                   ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Trunk + colour head + semantic head in one kernel.
 
@@ -609,7 +609,7 @@ def fused_pe_nerf(x: jnp.ndarray, extras: jnp.ndarray, s: jnp.ndarray,
 
 def _mega_fwd(x, extras, s, base_wbs, top_wbs, color_wbs, sem_wbs,
               num_freqs, pass_sem_grad, tile_n, interpret, dim,
-              tile_bwd=512):
+              tile_bwd=768):
     res = (x, extras, s, tuple(base_wbs), tuple(top_wbs), tuple(color_wbs),
            tuple(sem_wbs))
     N = x.shape[0]
