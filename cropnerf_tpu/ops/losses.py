@@ -44,24 +44,25 @@ def _outer_measure(t0_starts, t0_ends, t1_starts, t1_ends, y1):
     All in s-space; t0_*: [R, N] query bin edges, t1_*: [R, M] env bin edges,
     y1: [R, M] env weights.
     """
-    cy1 = jnp.concatenate(
-        [jnp.zeros_like(y1[..., :1]), jnp.cumsum(y1, axis=-1)], axis=-1)
-    M = y1.shape[-1]
-    # Gather-free lookup: t1_* are ascending, so the <=-masks are prefix-
-    # true and the indexed cumsum values are masked max-reductions (pure
-    # VPU, fused; take_along_axis over lanes costs ~6 ns/element on v5e and
-    # its transpose is a scatter in the backward).
-    #   idx_lo = clip(#(t1_starts <= t0_start) - 1, 0);  cy1[idx_lo]
-    #     = max over masked j of cy1[j], 0 when the mask is empty (cy1[0]=0)
-    mask_lo = t1_starts[..., None, :] <= t0_starts[..., :, None]  # [R, N, M]
-    cy1_lo = jnp.max(jnp.where(mask_lo, cy1[..., None, :-1], 0.0), axis=-1)
-    #   idx_hi = clip(#(t1_ends <= t0_end), 0, M-1);  cy1[idx_hi + 1]
-    #     = max over masked j of cy1[min(j+2, M)] (ascending ⇒ max = last),
-    #       cy1[1] when the mask is empty
-    z = jnp.concatenate([cy1[..., 2:], cy1[..., -1:]], axis=-1)   # [R, M]
-    mask_hi = t1_ends[..., None, :] <= t0_ends[..., :, None]      # [R, N, M]
-    cy1_hi = jnp.max(jnp.where(mask_hi, z[..., None, :],
-                               cy1[..., None, 1:2]), axis=-1)
+    # Gather-free SUM form.  The searchsorted lookups of mipnerf360's
+    # ``outer`` (cy1[idx_lo], cy1[idx_hi+1]) are prefix sums of y1 at
+    # data-dependent cut points; because t1_* are ascending, each lookup
+    # expands to a masked sum that is LINEAR in y1:
+    #   cy1_lo[n] = cy1[max(#(t1_starts<=t0_start)-1, 0)]
+    #             = sum_m y1[m] * [t1_starts[m+1] <= t0_starts[n]]
+    #   cy1_hi[n] = cy1[clip(#(t1_ends<=t0_end), 0, M-1) + 1]
+    #             = y1[0] + sum_{m>=1} y1[m] * [t1_ends[m-1] <= t0_ends[n]]
+    # (derivation holds for contiguous ascending bins).  Compared to the
+    # earlier max-of-cumsum form this is one [R, N, M-1] pass per bound
+    # with a plain broadcast-multiply-reduce backward — no cumsum, no
+    # argmax/tie routing — and the bin edges carry no parameter gradients
+    # (final-level edges are stop-gradiented by the caller; proposal edges
+    # come from param-free spaced bins / stop-gradiented CDF inversion).
+    lo_mask = t1_starts[..., None, 1:] <= t0_starts[..., :, None]  # [R,N,M-1]
+    cy1_lo = jnp.sum(jnp.where(lo_mask, y1[..., None, :-1], 0.0), axis=-1)
+    hi_mask = t1_ends[..., None, :-1] <= t0_ends[..., :, None]     # [R,N,M-1]
+    cy1_hi = y1[..., :1] + jnp.sum(
+        jnp.where(hi_mask, y1[..., None, 1:], 0.0), axis=-1)
     return cy1_hi - cy1_lo
 
 

@@ -340,3 +340,53 @@ class TestPackedLayout:
                                                 max_res=64, layout="dense"))
         params_d = field_init(jax.random.PRNGKey(0), cfg_d, num_images=2)
         assert params_d["grid"].shape == (4, 1024, 2)
+
+
+def test_outer_measure_sum_form_matches_max_of_cumsum():
+    """The linear masked-SUM form of _outer_measure (ops/losses.py) must
+    reproduce the searchsorted/max-of-cumsum semantics of mipnerf360's
+    ``outer`` (values AND grads wrt the env weights), including ties and
+    non-overlapping edge cases."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from cropnerf_tpu.ops import losses as loss_ops
+
+    def outer_ref(t0s, t0e, t1s, t1e, y1):
+        # the original max-of-cumsum implementation, kept as the oracle
+        cy1 = jnp.concatenate(
+            [jnp.zeros_like(y1[..., :1]), jnp.cumsum(y1, axis=-1)], axis=-1)
+        mask_lo = t1s[..., None, :] <= t0s[..., :, None]
+        cy1_lo = jnp.max(jnp.where(mask_lo, cy1[..., None, :-1], 0.0),
+                         axis=-1)
+        z = jnp.concatenate([cy1[..., 2:], cy1[..., -1:]], axis=-1)
+        mask_hi = t1e[..., None, :] <= t0e[..., :, None]
+        cy1_hi = jnp.max(jnp.where(mask_hi, z[..., None, :],
+                                   cy1[..., None, 1:2]), axis=-1)
+        return cy1_hi - cy1_lo
+
+    rng = np.random.RandomState(0)
+    for trial in range(6):
+        R, N, M = 7, 9, 13
+        # contiguous ascending bins; trial 3+ adds ties (repeated edges)
+        t1 = np.sort(rng.rand(R, M + 1), axis=-1)
+        t0 = np.sort(rng.rand(R, N + 1), axis=-1)
+        if trial >= 3:
+            t1[:, 3] = t1[:, 4]
+            t0[:, 2] = t1[:, 3]                 # query edge == env edge
+        y1 = rng.rand(R, M).astype(np.float32)
+        if trial >= 4:
+            y1[:, :5] = 0.0                     # zero-weight ties in cy1
+        args = [jnp.asarray(a.astype(np.float32)) for a in
+                (t0[:, :-1], t0[:, 1:], t1[:, :-1], t1[:, 1:])]
+
+        got, g_got = jax.value_and_grad(
+            lambda y: jnp.sum(jnp.sin(
+                loss_ops._outer_measure(*args, y) * 3.0)))(jnp.asarray(y1))
+        ref, g_ref = jax.value_and_grad(
+            lambda y: jnp.sum(jnp.sin(
+                outer_ref(*args, y) * 3.0)))(jnp.asarray(y1))
+        np.testing.assert_allclose(float(got), float(ref), rtol=1e-5,
+                                   err_msg=f"trial {trial}")
+        np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                                   atol=1e-5, err_msg=f"trial {trial}")
