@@ -8,9 +8,10 @@ Measures ms/step with bench.py's sound chained-dispatch sync.
 from __future__ import annotations
 
 import dataclasses
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:

@@ -8,12 +8,13 @@ dispatches with a single device_get — the same protocol as bench.py.
 """
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 NUM_INNER = 10
 

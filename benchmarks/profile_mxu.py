@@ -12,12 +12,13 @@ only on a healthy tunnel.
 from __future__ import annotations
 
 import dataclasses
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 NUM_INNER = 10
 

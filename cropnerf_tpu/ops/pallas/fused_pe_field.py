@@ -86,6 +86,37 @@ def _mm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
                    preferred_element_type=jnp.float32)
 
 
+_TILE_FLOOR = 128          # smallest useful row tile (16 f32 sublanes x 8)
+_warned_ref_fallback: set = set()
+
+
+def _pick_tile(n: int, preferred: int) -> int:
+    """Largest tile <= preferred that divides n (halving search), else 0.
+
+    Forward and backward each search down from their own preferred tile, so
+    a batch divisible by one but not the other no longer silently drops the
+    whole pass to the jnp reference path (a hidden ~1.5x perf cliff)."""
+    t = preferred
+    while t >= _TILE_FLOOR:
+        if n % t == 0:
+            return t
+        t //= 2
+    return 0
+
+
+def _warn_ref_fallback(name: str, n: int, preferred: int) -> None:
+    """One-time signal when a TPU batch falls back to the jnp path."""
+    key = (name, n, preferred)
+    if key not in _warned_ref_fallback:
+        _warned_ref_fallback.add(key)
+        import warnings
+        warnings.warn(
+            f"{name}: batch size {n} has no tile divisor <= {preferred} "
+            f">= {_TILE_FLOOR}; using the (slower) jnp reference path. "
+            f"Pad the batch to a multiple of {_TILE_FLOOR} to recover the "
+            "fused kernel.", RuntimeWarning, stacklevel=3)
+
+
 def _fwd_kernel(dim, num_freqs, n_base, n_top, x_ref, s_ref, *refs):
     """refs = (base w0,b0,… , top w0,b0,… , out).  All-relu base (incl. its
     output), relu-hidden linear-output top, skip concat [h_base, enc] folded
@@ -245,27 +276,36 @@ def _ref_forward(x, s, base_wbs, top_wbs, dim, num_freqs):
     return t.astype(jnp.float32)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
 def fused_pe_density(x: jnp.ndarray, s: jnp.ndarray,
                      base_wbs: Sequence[jnp.ndarray],
                      top_wbs: Sequence[jnp.ndarray],
                      num_freqs: int, tile_n: int = 1024,
                      interpret: bool = False,
-                     dim: int = 3) -> jnp.ndarray:
+                     dim: int = 3, tile_bwd: int = 512) -> jnp.ndarray:
     """x [N, dim] (encoder input domain, e.g. unit*2-1) → [N, Dout].
 
     base_wbs/top_wbs = [W0, b0, W1, b1, …] with biases [1, d]; W_top0 is the
     skip layer [H + dim*(1+2F), H_top].  ``s`` must be
-    ``pe_selector_matrix(num_freqs, dim=dim)``.
+    ``pe_selector_matrix(num_freqs, dim=dim)``.  ``tile_bwd`` (default 512,
+    the measured safe tile for the 8x256 trunk under the 16 MB scoped-vmem
+    stack limit) bounds the recompute backward's VMEM footprint — this path
+    is differentiated on TPU by bayesrays' hessian pass.
     """
-    return _fwd(x, s, base_wbs, top_wbs, num_freqs, tile_n, interpret, dim)[0]
+    return _fwd(x, s, base_wbs, top_wbs, num_freqs, tile_n, interpret, dim,
+                tile_bwd)[0]
 
 
-def _fwd(x, s, base_wbs, top_wbs, num_freqs, tile_n, interpret, dim):
+def _fwd(x, s, base_wbs, top_wbs, num_freqs, tile_n, interpret, dim,
+         tile_bwd=512):
     res = (x, tuple(base_wbs), tuple(top_wbs), s)
     N = x.shape[0]
-    if N % tile_n != 0 or N == 0 or (
-            jax.default_backend() != "tpu" and not interpret):
+    on_tpu = jax.default_backend() == "tpu"
+    preferred = tile_n
+    tile_n = _pick_tile(N, tile_n) if N else 0
+    if tile_n == 0 or (not on_tpu and not interpret):
+        if tile_n == 0 and N and (on_tpu or interpret):
+            _warn_ref_fallback("fused_pe_density", N, preferred)
         return (_ref_forward(x, s, base_wbs, top_wbs, dim, num_freqs), res)
     wbs = list(base_wbs) + list(top_wbs)
     Dout = top_wbs[-2].shape[1]
@@ -289,11 +329,16 @@ def _fwd(x, s, base_wbs, top_wbs, num_freqs, tile_n, interpret, dim):
     return out, res
 
 
-def _bwd(num_freqs, tile_n, interpret, dim, res, g):
+def _bwd(num_freqs, tile_n, interpret, dim, tile_bwd, res, g):
+    # the recompute-everything backward holds ~2x the forward's slabs in
+    # VMEM; a smaller tile keeps it under the 16 MB scoped-vmem stack limit
     x, base_wbs, top_wbs, s = res
     N = x.shape[0]
-    if N % tile_n != 0 or N == 0 or (
-            jax.default_backend() != "tpu" and not interpret):
+    on_tpu = jax.default_backend() == "tpu"
+    tile_n = _pick_tile(N, tile_bwd) if N else 0
+    if tile_n == 0 or (not on_tpu and not interpret):
+        if tile_n == 0 and N and (on_tpu or interpret):
+            _warn_ref_fallback("fused_pe_density (bwd)", N, tile_bwd)
         def f(x, bw, tw):
             return _ref_forward(x, s, bw, tw, dim, num_freqs)
         _, vjp = jax.vjp(f, x, list(base_wbs), list(top_wbs))
@@ -613,8 +658,12 @@ def _mega_fwd(x, extras, s, base_wbs, top_wbs, color_wbs, sem_wbs,
     res = (x, extras, s, tuple(base_wbs), tuple(top_wbs), tuple(color_wbs),
            tuple(sem_wbs))
     N = x.shape[0]
-    if N % tile_n != 0 or N == 0 or (
-            jax.default_backend() != "tpu" and not interpret):
+    on_tpu = jax.default_backend() == "tpu"
+    preferred = tile_n
+    tile_n = _pick_tile(N, tile_n) if N else 0
+    if tile_n == 0 or (not on_tpu and not interpret):
+        if tile_n == 0 and N and (on_tpu or interpret):
+            _warn_ref_fallback("fused_pe_nerf", N, preferred)
         return (_mega_ref(x, extras, s, base_wbs, top_wbs, color_wbs,
                           sem_wbs, dim, num_freqs, pass_sem_grad), res)
     wbs = (list(base_wbs) + list(top_wbs) + list(color_wbs) + list(sem_wbs))
@@ -654,12 +703,14 @@ def _mega_bwd(num_freqs, pass_sem_grad, tile_n, interpret, dim, tile_bwd,
               res, g):
     # the recompute-everything backward holds ~2x the forward's slabs in
     # VMEM; a smaller tile keeps it under the 16 MB scoped-vmem stack limit
-    tile_n = tile_bwd
     x, extras, s, base_wbs, top_wbs, color_wbs, sem_wbs = res
     g_t, g_rgb, g_sem = g
     N = x.shape[0]
-    if N % tile_n != 0 or N == 0 or (
-            jax.default_backend() != "tpu" and not interpret):
+    on_tpu = jax.default_backend() == "tpu"
+    tile_n = _pick_tile(N, tile_bwd) if N else 0
+    if tile_n == 0 or (not on_tpu and not interpret):
+        if tile_n == 0 and N and (on_tpu or interpret):
+            _warn_ref_fallback("fused_pe_nerf (bwd)", N, tile_bwd)
         def f(x, extras, bw, tw, cw, sw):
             return _mega_ref(x, extras, s, bw, tw, cw, sw, dim, num_freqs,
                              pass_sem_grad)
@@ -833,8 +884,12 @@ def fused_pe_mlp(x: jnp.ndarray, s: jnp.ndarray,
 def _plain_fwd(x, s, wbs, num_freqs, tile_n, interpret, dim, tile_bwd=1024):
     res = (x, s, tuple(wbs))
     N = x.shape[0]
-    if N % tile_n != 0 or N == 0 or (
-            jax.default_backend() != "tpu" and not interpret):
+    on_tpu = jax.default_backend() == "tpu"
+    preferred = tile_n
+    tile_n = _pick_tile(N, tile_n) if N else 0
+    if tile_n == 0 or (not on_tpu and not interpret):
+        if tile_n == 0 and N and (on_tpu or interpret):
+            _warn_ref_fallback("fused_pe_mlp", N, preferred)
         return _plain_ref(x, s, wbs, dim, num_freqs), res
     n_layers = len(wbs) // 2
     Dout = wbs[-2].shape[1]
@@ -860,11 +915,13 @@ def _plain_fwd(x, s, wbs, num_freqs, tile_n, interpret, dim, tile_bwd=1024):
 def _plain_bwd(num_freqs, tile_n, interpret, dim, tile_bwd, res, g):
     # the recompute-everything backward holds ~2x the forward's slabs in
     # VMEM; a smaller tile keeps it under the 16 MB scoped-vmem stack limit
-    tile_n = tile_bwd
     x, s, wbs = res
     N = x.shape[0]
-    if N % tile_n != 0 or N == 0 or (
-            jax.default_backend() != "tpu" and not interpret):
+    on_tpu = jax.default_backend() == "tpu"
+    tile_n = _pick_tile(N, tile_bwd) if N else 0
+    if tile_n == 0 or (not on_tpu and not interpret):
+        if tile_n == 0 and N and (on_tpu or interpret):
+            _warn_ref_fallback("fused_pe_mlp (bwd)", N, tile_bwd)
         def f(x, wbs):
             return _plain_ref(x, s, wbs, dim, num_freqs)
         _, vjp = jax.vjp(f, x, list(wbs))

@@ -89,13 +89,14 @@ def test_kernel_interpret_matches_fallback_fw_and_bw():
     s = jnp.asarray(pe_selector_matrix(F))
 
     def loss(x, base, top, interpret, tile):
-        out = fused_pe_density(x, s, base, top, F, tile, interpret)
+        out = fused_pe_density(x, s, base, top, F, tile, interpret, 3, tile)
         return jnp.sum(jnp.sin(out * 3.0)), out
 
-    # fallback: tile chosen so 256 % tile != 0 → jnp path
+    # fallback: interpret off on CPU → jnp path
     (l_ref, out_ref), g_ref = jax.value_and_grad(
         loss, argnums=(0, 1, 2), has_aux=True)(x, base, top, False, 177)
-    # kernel path in interpret mode (grid of 2 tiles exercises accumulation)
+    # kernel path in interpret mode (grid of 2 tiles exercises accumulation
+    # in fwd AND — via tile_bwd=128 — in the recompute bwd)
     (l_k, out_k), g_k = jax.value_and_grad(
         loss, argnums=(0, 1, 2), has_aux=True)(x, base, top, True, 128)
 
@@ -267,3 +268,48 @@ def test_proposal_density_pallas_fused_matches_xla():
 def dataclasses_replace(cfg, **kw):
     import dataclasses
     return dataclasses.replace(cfg, **kw)
+
+
+def test_pick_tile_divisor_fallback():
+    """_pick_tile halves the preferred tile until it divides N (so a batch
+    divisible by 768 but not 1024 still runs the kernel), and returns 0 —
+    jnp reference path — only when no divisor >= the floor exists."""
+    from cropnerf_tpu.ops.pallas.fused_pe_field import _pick_tile
+
+    assert _pick_tile(4096, 1024) == 1024
+    assert _pick_tile(2304, 1024) == 256        # 2304 = 9*256
+    assert _pick_tile(2304, 768) == 768         # bwd-preferred divides
+    assert _pick_tile(1280, 1024) == 256
+    assert _pick_tile(177, 1024) == 0           # prime-ish → ref path
+    assert _pick_tile(128, 4096) == 128
+
+
+def test_density_kernel_odd_tile_divisor_interpret():
+    """End-to-end through _pick_tile: N=384 is divisible by neither the
+    fwd preferred (1024→…→256? no: 384%256!=0) until 128, so both fwd and
+    bwd land on tile 128 instead of silently dropping to the jnp path."""
+    F = 4
+    enc_dim = 3 * (1 + 2 * F)
+    H = 32
+    base = _wbs(jax.random.PRNGKey(14), [enc_dim, H, H])
+    top = _wbs(jax.random.PRNGKey(15), [H + enc_dim, H, 8])
+    x = jax.random.uniform(jax.random.PRNGKey(16), (384, 3), minval=-1,
+                           maxval=1)
+    s = jnp.asarray(pe_selector_matrix(F))
+
+    def loss(x, base, top, interpret):
+        out = fused_pe_density(x, s, base, top, F, 1024, interpret, 3, 512)
+        return jnp.sum(jnp.sin(out * 3.0)), out
+
+    (_, out_ref), g_ref = jax.value_and_grad(
+        loss, argnums=(0, 1, 2), has_aux=True)(x, base, top, False)
+    (_, out_k), g_k = jax.value_and_grad(
+        loss, argnums=(0, 1, 2), has_aux=True)(x, base, top, True)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_ref),
+                               atol=1e-5, rtol=1e-5)
+    # kernel casts cotangents to bf16; position grads pass through the
+    # 2^F-scaled sin/cos chain, so slightly wider atol than the weight grads
+    for a, b in zip(jax.tree_util.tree_leaves(g_k),
+                    jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-1,
+                                   rtol=5e-2)
