@@ -17,13 +17,20 @@ Done (2026-08-18 pm, device_get sync protocol — see benchmarks/README.md):
   * packed vs dense layout: 4.61 vs 5.30 s/step (pre-flat-scatter).
   * prop no-grad cond: 5.04 vs 5.30 s/step (dense layout, pre-flat-scatter).
 
+Done (2026-08-19/20, round 3 — benchmarks/ab_round3.py + fresh
+profile_components run, all in benchmarks/README.md):
+  * VPU mask-reduce costs measured: interlevel fw+bw 0.83 ms, resample
+    fw+bw 0.48 ms — NOT bottlenecks.  Prop position-grad chain measured
+    free (stop-grad A/B identical).  Field fw+bw 10.6 ms (52% of step).
+  * Knob A/B at the 20.5 ms flagship step: remat_props 21.3 (kill),
+    fused_tile 2048 20.47 (noise), bwd 512 21.2 (kill), tile >=3072 fwd
+    OOMs scoped vmem, CROPNERF_PRNG=rbg 20.51 (tie).  Flagship is at its
+    plateau for these levers; knobs kept as config surface.
+
 Pending:
-  * mxu remaining ~35 ms budget: profile VPU mask-reduce cost in
-    sample_pdf/interlevel vs matmuls; consider bf16 compare operands,
-    wider field (hidden 512) if matmul-bound headroom exists.
-  * FieldConfig.mlp_impl xla vs pallas A/B inside the FULL mxu step.
-  * hash path: cell-packed dense-level rows (8x fewer gathers) if the
-    hash presets' on-chip speed ever matters beyond parity.
+  * hash path: cell-packed dense-level rows (one wide gather instead of 8
+    narrow ones on dense levels) — expected ~1.3-1.4x on the 2.29 s hash
+    step; worth doing for the parity preset's dignity, not the headline.
   * mxu vs hash PSNR parity on real 3DCotton data (needs the dataset).
 """
 import time, sys

@@ -31,6 +31,7 @@ setup (README.md:75) at the same base config (4096 rays × ~400 samples/ray).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -72,7 +73,10 @@ def _time_step(step, state, bank, warmup=2, iters=10, repeats=3):
     (observed through the axon remote tunnel).  Best of ``repeats``.
     """
     import jax
-    key = jax.random.PRNGKey(1)
+    # CROPNERF_PRNG=rbg selects the (faster-on-TPU) RBG generator for the
+    # whole step chain — the key's impl propagates through every split
+    key = (jax.random.key(1, impl=os.environ["CROPNERF_PRNG"])
+           if os.environ.get("CROPNERF_PRNG") else jax.random.PRNGKey(1))
     for _ in range(warmup):
         key, sub = jax.random.split(key)
         state, metrics = step(state, bank, sub)

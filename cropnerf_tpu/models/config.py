@@ -51,6 +51,12 @@ class FieldConfig:
     # in ONE kernel, ops/pallas/fused_pe_field.py; heads use the plain
     # fused kernel).  A/B'd on v5e in benchmarks/README.md
     mlp_impl: str = "xla"
+    # row-tile sizes for the fused PE-field kernels (mlp_impl="pallas-fused"):
+    # forward tile and the (smaller) recompute-backward tile, both bounded by
+    # the 16 MB scoped-vmem stack limit (see ops/pallas/fused_pe_field.py;
+    # A/B'd on v5e in benchmarks/README.md)
+    fused_tile: int = 1024
+    fused_tile_bwd: int = 768
     appearance_embedding_dim: int = 32
     use_average_appearance_embedding: bool = True
     sh_levels: int = 4
@@ -122,6 +128,11 @@ class ModelConfig:
     # large ray batches (jax.checkpoint; the TPU analogue of not caching
     # tcnn's forward activations)
     remat: bool = True
+    # remat ONLY the proposal density nets (independent of ``remat``): the
+    # prop nets see 5x more samples than the field, so storing their
+    # [N, enc..hidden] residuals for backward is HBM-traffic-bound while the
+    # recompute is cheap MXU work — measured on v5e (benchmarks/README.md)
+    remat_props: bool = False
 
     @property
     def num_proposal_iterations(self) -> int:

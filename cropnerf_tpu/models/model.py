@@ -86,7 +86,7 @@ def _proposal_sampling(params: Dict, rb: RayBundle, cfg: ModelConfig,
     for i in range(n_prop):
         def prop_fn(p, x, _i=i):
             return proposal_density(p, x, cfg.proposal_fields[_i])
-        if cfg.remat:
+        if cfg.remat or cfg.remat_props:
             prop_fn = jax.checkpoint(prop_fn)
         if prop_update is not None:
             density = jax.lax.cond(

@@ -82,7 +82,9 @@ def vanilla_field_density(params: Dict, positions: jnp.ndarray,
         for w, b in zip(top["w"], top["b"]):
             top_wbs += [w, b.reshape(1, -1)]
         flat = x.reshape(-1, 3)
-        h = fused_pe_density(flat, s, base_wbs, top_wbs, POS_FREQS)
+        h = fused_pe_density(flat, s, base_wbs, top_wbs, POS_FREQS,
+                             cfg.fused_tile, False, 3,
+                             min(cfg.fused_tile_bwd, 512))
         h = h.reshape(*x.shape[:-1], h.shape[-1])
     else:
         enc = nerf_encoding(x, POS_FREQS)
@@ -201,7 +203,8 @@ def vanilla_field_all(params: Dict, positions: jnp.ndarray,
     s = jnp.asarray(pe_selector_matrix(POS_FREQS))
     t, rgb_raw, sem_raw = fused_pe_nerf(
         x.reshape(-1, 3), extras.reshape(-1, extras.shape[-1]), s,
-        base_wbs, top_wbs, color_wbs, sem_wbs, POS_FREQS, pass_sem_grads)
+        base_wbs, top_wbs, color_wbs, sem_wbs, POS_FREQS, pass_sem_grads,
+        cfg.fused_tile, False, 3, cfg.fused_tile_bwd)
     t = t.reshape(*batch_shape, t.shape[-1])
     density = trunc_exp(t[..., 0]) * selector
     rgb = jax.nn.sigmoid(rgb_raw).reshape(*batch_shape, rgb_raw.shape[-1])
