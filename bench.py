@@ -5,7 +5,8 @@ steady state.
 
 Why the mxu preset is the flagship: v5e has no vectorized gather (random
 HBM access ≈ 7 ns/row), so the reference-parity hash-grid preset is
-latency-floor-bound at ~2.3 s/step (~1.8 k rays/s) no matter how it is
+latency-floor-bound at ~1.4 s/step (~2.9 k rays/s; cell-packed dense
+levels, benchmarks/ab_cellpack.py) no matter how it is
 scheduled; the mxu preset delivers the same pipeline (sampling, heads,
 losses, counting) with gather-free PE-MLP fields that run entirely on the
 MXU — measured 20.9 ms/step (196 k rays/s) at the same 4096-ray batch with

@@ -27,6 +27,14 @@ class HashGridConfig:
     # optimizer/scatter HBM traffic ~27%) or "dense" ([L, T, F]; required
     # by impl="pallas")
     layout: str = "packed"
+    # route dense (collision-free) levels through the cell-packed view:
+    # one wide [8F] row gather/scatter per sample instead of 8 narrow
+    # gathers + 8F flat scatter elements — v5e random HBM access costs
+    # ~6-8 ns per ROW regardless of width (ops/hashgrid.py _dense_cell_view).
+    # Measured 2256 → 1390 ms/step (1.62x) on the base hash preset
+    # (benchmarks/ab_cellpack.py, v5e 2026-08-20); value/grad-identical
+    # (tests/test_ops.py TestCellPack)
+    cell_pack: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

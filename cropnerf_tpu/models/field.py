@@ -89,7 +89,8 @@ def field_density(params: Dict, positions: jnp.ndarray, cfg: FieldConfig,
         feats = hashgrid_encode_pallas(params["grid"], unit, res)
     else:
         feats = hashgrid_encode(params["grid"], unit, res,
-                                table_size=2 ** cfg.grid.log2_hashmap_size)
+                                table_size=2 ** cfg.grid.log2_hashmap_size,
+                                cell_pack=cfg.grid.cell_pack)
     h = mlp_apply(params["mlp_base"], feats, impl=cfg.mlp_impl)
     density_raw, geo = h[..., 0], h[..., 1:]
     density = trunc_exp(density_raw) * selector

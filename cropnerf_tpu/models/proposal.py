@@ -79,6 +79,7 @@ def proposal_density(params: Dict, positions: jnp.ndarray,
         feats = hashgrid_encode_pallas(params["grid"], unit, res)
     else:
         feats = hashgrid_encode(params["grid"], unit, res,
-                                table_size=2 ** cfg.grid.log2_hashmap_size)
+                                table_size=2 ** cfg.grid.log2_hashmap_size,
+                                cell_pack=cfg.grid.cell_pack)
     h = mlp_apply(params["mlp"], feats, impl=cfg.mlp_impl)
     return trunc_exp(h[..., 0]) * selector

@@ -94,10 +94,49 @@ def level_uses_dense(res: int, table_size: int) -> bool:
     return (res + 1) ** 3 <= table_size
 
 
+def _dense_cell_view(table2d: jnp.ndarray, off: int, res: int,
+                     F: int) -> jnp.ndarray:
+    """Cell-packed view of one dense level: row c holds the 8 corner features
+    of cell c, corner-major ([c0F | c1F | ... | c7F], corner bits as in
+    :func:`_level_corners`).
+
+    Built from the canonical corner lattice with 8 shifted strided slices —
+    dense contiguous reads, no random access.  The point: ONE wide row gather
+    per sample replaces 8 narrow ones (v5e random HBM access is ~6-8 ns per
+    ROW regardless of width; measured in benchmarks/README.md)."""
+    side = res + 1
+    c3 = jax.lax.dynamic_slice_in_dim(table2d, off, side ** 3, 0)
+    c3 = c3.reshape(side, side, side, F)
+    parts = []
+    for corner in range(8):
+        dx, dy, dz = corner & 1, (corner >> 1) & 1, (corner >> 2) & 1
+        parts.append(c3[dx:dx + res, dy:dy + res, dz:dz + res, :])
+    return jnp.concatenate(parts, axis=-1).reshape(res ** 3, 8 * F)
+
+
+def _cell_index(pos: jnp.ndarray, res: int):
+    """Clipped cell coordinates + fractional offsets (matches the corner
+    logic of :func:`hashgrid_encode_ref` for dense levels)."""
+    scaled = pos * res
+    basef = jnp.floor(scaled)
+    frac = scaled - basef
+    base = jnp.clip(basef.astype(jnp.int32), 0, res - 1)
+    cell = (base[:, 0] * res + base[:, 1]) * res + base[:, 2]
+    return cell, frac
+
+
+def _corner_weight(frac: jnp.ndarray, corner: int) -> jnp.ndarray:
+    dx, dy, dz = corner & 1, (corner >> 1) & 1, (corner >> 2) & 1
+    return ((frac[:, 0] if dx else 1.0 - frac[:, 0])
+            * (frac[:, 1] if dy else 1.0 - frac[:, 1])
+            * (frac[:, 2] if dz else 1.0 - frac[:, 2]))
+
+
 def hashgrid_encode_ref(table: jnp.ndarray, positions: jnp.ndarray,
                         resolutions: Sequence[int],
                         hash_mode: str = "auto",
-                        table_size: int | None = None) -> jnp.ndarray:
+                        table_size: int | None = None,
+                        cell_pack: bool = False) -> jnp.ndarray:
     """Encode positions in [0,1]^3 → features.
 
     table:      [L, T, F] (dense layout) or [sum(rows_l), F] (packed layout,
@@ -109,6 +148,10 @@ def hashgrid_encode_ref(table: jnp.ndarray, positions: jnp.ndarray,
                 corner lattice fits the table, hashed otherwise) or "hash"
                 (always hash, nerfstudio's torch HashEncoding semantics).
     table_size: 2**log2_hashmap_size; inferred for the dense layout.
+    cell_pack:  route dense levels through the cell-packed view
+                (:func:`_dense_cell_view`): one wide row gather per sample
+                instead of 8 narrow ones.  Value-identical (same corner
+                features, same blend order).
 
     Returns [..., L*F] float32.
     """
@@ -128,10 +171,25 @@ def hashgrid_encode_ref(table: jnp.ndarray, positions: jnp.ndarray,
         table_size = table_size or table_size_
     batch_shape = positions.shape[:-1]
     pos = positions.reshape(-1, 3).astype(jnp.float32)
+    if cell_pack:
+        offsets_all, _ = _level_offsets(resolutions, table_size, hash_mode,
+                                        packed)
+        table2d = table if packed else table.reshape(-1, F)
 
     outs = []
     for l, res in enumerate(resolutions):
         dense = hash_mode == "auto" and level_uses_dense(res, table_size)
+        if dense and cell_pack:
+            view = _dense_cell_view(table2d, offsets_all[l], res, F)
+            cell, frac = _cell_index(pos, res)
+            row = view[cell]                                  # [M, 8F]
+            feats = jnp.zeros((pos.shape[0], F), dtype=jnp.float32)
+            for corner in range(8):
+                w = _corner_weight(frac, corner)
+                feats = feats + (row[:, corner * F:(corner + 1) * F]
+                                 * w[:, None])
+            outs.append(feats)
+            continue
         scaled = pos * res
         base = jnp.floor(scaled)
         frac = scaled - base
@@ -222,19 +280,22 @@ def _level_offsets(resolutions, table_size: int, hash_mode: str, packed: bool):
     return [l * table_size for l in range(L)], L * table_size
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _encode_opt(table, positions, resolutions, hash_mode, table_size):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _encode_opt(table, positions, resolutions, hash_mode, table_size,
+                cell_pack):
     return hashgrid_encode_ref(table, positions, resolutions, hash_mode,
-                               table_size)
+                               table_size, cell_pack)
 
 
-def _encode_opt_fwd(table, positions, resolutions, hash_mode, table_size):
+def _encode_opt_fwd(table, positions, resolutions, hash_mode, table_size,
+                    cell_pack):
     return (hashgrid_encode_ref(table, positions, resolutions, hash_mode,
-                                table_size),
+                                table_size, cell_pack),
             (table, positions))
 
 
-def _encode_opt_bwd(resolutions, hash_mode, table_size, residuals, g):
+def _encode_opt_bwd(resolutions, hash_mode, table_size, cell_pack,
+                    residuals, g):
     table, positions = residuals
     packed = table.ndim == 2
     F = table.shape[-1]
@@ -248,11 +309,49 @@ def _encode_opt_bwd(resolutions, hash_mode, table_size, residuals, g):
     table2d = table if packed else table.reshape(-1, F)
 
     dcols = [jnp.zeros((total,), jnp.float32) for _ in range(F)]
+    dense_grads = []                 # (offset, [side^3, F]) per packed level
     dpos = jnp.zeros((M, 3), jnp.float32)
     for l, res in enumerate(resolutions):
+        dense = hash_mode == "auto" and level_uses_dense(res, table_size)
+        gl = g2[:, l, :]                               # [M, F]
+        if dense and cell_pack:
+            # one wide row gather (pos grads) + one wide row scatter (table
+            # grads) per sample, then a dense 8-slice fold back to the
+            # canonical corner lattice — vs 8 narrow gathers + 8F flat
+            # scatter elements in the generic path below
+            view = _dense_cell_view(table2d, offsets[l], res, F)
+            cell, frac = _cell_index(pos, res)
+            row = view[cell]                           # [M, 8F]
+            dval_blocks = []
+            for corner in range(8):
+                bits = (corner & 1, (corner >> 1) & 1, (corner >> 2) & 1)
+                w = _corner_weight(frac, corner)
+                dval_blocks.append(gl * w[:, None])
+                t = [frac[:, d] if b else 1.0 - frac[:, d]
+                     for d, b in enumerate(bits)]
+                s = [(1.0 if b else -1.0) for b in bits]
+                dw = jnp.stack([s[0] * t[1] * t[2],
+                                t[0] * s[1] * t[2],
+                                t[0] * t[1] * s[2]], axis=-1) * float(res)
+                dot = jnp.sum(row[:, corner * F:(corner + 1) * F] * gl,
+                              axis=-1)
+                dpos = dpos + dw * dot[:, None]
+            dvals = jnp.concatenate(dval_blocks, axis=-1)   # [M, 8F]
+            dview = jnp.zeros((res ** 3, 8 * F),
+                              jnp.float32).at[cell].add(dvals)
+            # fold the cell view's cotangent back onto corners: 8 dense
+            # strided slice-adds (the transpose of _dense_cell_view)
+            side = res + 1
+            dv4 = dview.reshape(res, res, res, 8 * F)
+            dc3 = jnp.zeros((side, side, side, F), jnp.float32)
+            for corner in range(8):
+                dx, dy, dz = corner & 1, (corner >> 1) & 1, (corner >> 2) & 1
+                dc3 = dc3.at[dx:dx + res, dy:dy + res, dz:dz + res, :].add(
+                    dv4[..., corner * F:(corner + 1) * F])
+            dense_grads.append((offsets[l], dc3.reshape(side ** 3, F)))
+            continue
         idx, w, dw = _level_corners(pos, res, table_size, hash_mode)
         rows = (offsets[l] + idx).reshape(-1)          # [8M] corner-major
-        gl = g2[:, l, :]                               # [M, F]
         for f in range(F):
             vals = (w * gl[:, f][None, :]).reshape(-1)
             dcols[f] = dcols[f].at[rows].add(vals)
@@ -261,6 +360,10 @@ def _encode_opt_bwd(resolutions, hash_mode, table_size, residuals, g):
         dot = jnp.sum(feats * jnp.tile(gl, (8, 1)), axis=-1)  # [8M]
         dpos = dpos + jnp.sum(dw * dot.reshape(8, M)[..., None], axis=0)
     dtable = jnp.stack(dcols, axis=-1)
+    for off, dg in dense_grads:
+        dtable = jax.lax.dynamic_update_slice_in_dim(
+            dtable, jax.lax.dynamic_slice_in_dim(
+                dtable, off, dg.shape[0], 0) + dg, off, 0)
     if not packed:
         dtable = dtable.reshape(L, table_size, F)
     return (dtable.astype(table.dtype),
@@ -273,12 +376,15 @@ _encode_opt.defvjp(_encode_opt_fwd, _encode_opt_bwd)
 def hashgrid_encode(table: jnp.ndarray, positions: jnp.ndarray,
                     resolutions: Sequence[int],
                     hash_mode: str = "auto",
-                    table_size: int | None = None) -> jnp.ndarray:
+                    table_size: int | None = None,
+                    cell_pack: bool = False) -> jnp.ndarray:
     """Production encode: forward of :func:`hashgrid_encode_ref`, backward
     via the flat-scatter custom VJP above (gradient-identical, ~5x faster
-    on v5e)."""
+    on v5e).  ``cell_pack`` routes dense levels through the cell-packed view
+    (one wide row gather/scatter per sample instead of 8 narrow gathers +
+    8F flat scatter elements; see :func:`_dense_cell_view`)."""
     if table_size is None:
         assert table.ndim == 3, "packed layout needs table_size"
         table_size = table.shape[1]
     return _encode_opt(table, positions, tuple(resolutions), hash_mode,
-                       table_size)
+                       table_size, cell_pack)

@@ -397,3 +397,67 @@ def test_outer_measure_sum_form_matches_max_of_cumsum():
         # f32 additions differently (observed max dev ~2e-5).
         np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
                                    atol=1e-4, err_msg=f"trial {trial}")
+
+
+class TestCellPack:
+    """Cell-packed dense-level encode (ops/hashgrid.py _dense_cell_view):
+    must be value- and gradient-identical to the generic corner-gather path
+    on mixed dense+hashed level stacks, in both table layouts."""
+
+    def _check(self, layout):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from cropnerf_tpu.ops.hashgrid import (hashgrid_encode,
+                                               hashgrid_init,
+                                               hashgrid_init_packed,
+                                               level_resolutions,
+                                               level_uses_dense)
+        T_LOG2 = 12                       # 4096 rows
+        res = level_resolutions(4, 4, 64)  # 4, 10, 25, 64
+        dense_flags = [level_uses_dense(r, 2 ** T_LOG2) for r in res]
+        assert True in dense_flags and False in dense_flags, dense_flags
+        key = jax.random.PRNGKey(0)
+        table = (hashgrid_init_packed(key, res, 2, T_LOG2)
+                 if layout == "packed"
+                 else hashgrid_init(key, 4, 2, T_LOG2))
+        pos = jax.random.uniform(jax.random.PRNGKey(1), (257, 3))
+        # include exact-edge positions (pos == 1.0 hits the clip path)
+        pos = jnp.concatenate([pos, jnp.ones((3, 3)), jnp.zeros((3, 3))])
+
+        def loss(table, pos, cp):
+            out = hashgrid_encode(table, pos, res, table_size=2 ** T_LOG2,
+                                  cell_pack=cp)
+            return jnp.sum(jnp.sin(out * 7.0)), out
+
+        (l0, o0), g0 = jax.value_and_grad(loss, argnums=(0, 1),
+                                          has_aux=True)(table, pos, False)
+        (l1, o1), g1 = jax.value_and_grad(loss, argnums=(0, 1),
+                                          has_aux=True)(table, pos, True)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o0),
+                                   rtol=1e-6, atol=1e-7)
+        for a, b in zip(g1, g0):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-7)
+
+    def test_packed_layout(self):
+        self._check("packed")
+
+    def test_dense_layout(self):
+        self._check("dense")
+
+    def test_all_hashed_stack_unaffected(self):
+        """hash_mode='hash' has no dense levels — cell_pack must no-op."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from cropnerf_tpu.ops.hashgrid import (hashgrid_encode, hashgrid_init,
+                                               level_resolutions)
+        res = level_resolutions(3, 4, 32)
+        table = hashgrid_init(jax.random.PRNGKey(0), 3, 2, 10)
+        pos = jax.random.uniform(jax.random.PRNGKey(1), (64, 3))
+        a = hashgrid_encode(table, pos, res, hash_mode="hash",
+                            cell_pack=True)
+        b = hashgrid_encode(table, pos, res, hash_mode="hash",
+                            cell_pack=False)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
