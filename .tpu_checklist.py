@@ -27,8 +27,16 @@ profile_components run, all in benchmarks/README.md):
     OOMs scoped vmem, CROPNERF_PRNG=rbg 20.51 (tie).  Flagship is at its
     plateau for these levers; knobs kept as config surface.
 
+Done (2026-08-20, round 3):
+  * cell-packed dense-level rows: 2256 -> 1390 ms/step (1.62x) on the base
+    hash preset (benchmarks/ab_cellpack.py); default ON (HashGridConfig.
+    cell_pack), value/grad-identical, verify chain bit-identical losses.
+  * bayesrays hessian path on-chip: jax.grad through the pallas-fused
+    field density (tile_bwd=512, the round-2 ADVICE fix) compiles and runs
+    at a 4096x48 batch on v5e.
+
 Pending:
-  * hash path: cell-packed dense-level rows (one wide gather instead of 8
+  * (closed) hash path: cell-packed dense-level rows (one wide gather instead of 8
     narrow ones on dense levels) — expected ~1.3-1.4x on the 2.29 s hash
     step; worth doing for the parity preset's dignity, not the headline.
   * mxu vs hash PSNR parity on real 3DCotton data (needs the dataset).

@@ -303,6 +303,61 @@ PRESETS = {
         learning_rate=1e-3, lr_final=1e-5, lr_decay_max_steps=50_000,
         prop_learning_rate=1e-3, prop_lr_final=1e-5,
         prop_lr_decay_max_steps=50_000, adam_eps=1e-8),
+    # TPU-native big/huge tiers: the fruit_nerf_big/_huge scale ladder
+    # (fruit_nerf_config.py:68-172 — rays, samples, head widths, anneal,
+    # camera-opt settings) applied to the gather-free mxu family.  The PE
+    # trunk stays 8x256 (it replaces the hash TABLE, not the hash-MLP, so
+    # the reference's hidden_dim ladder maps to the heads); prop PE freqs
+    # step up with the tiers' max_res.  fused_tile_bwd=512: these batches
+    # are 2^20 samples, which 768 does not divide.
+    "cropnerf-mxu-big": TrainConfig(
+        model=ModelConfig(
+            field=FieldConfig(field_type="vanilla", hidden_dim=256,
+                              geo_feat_dim=30, hidden_dim_color=128,
+                              hidden_dim_semantics=128,
+                              num_layers_semantic=3,
+                              appearance_embedding_dim=128,
+                              mlp_impl="pallas-fused", fused_tile_bwd=512),
+            proposal_fields=(
+                ProposalFieldConfig(field_type="pe", hidden_dim=64,
+                                    num_layers=3, pe_freqs=6),
+                ProposalFieldConfig(field_type="pe", hidden_dim=64,
+                                    num_layers=3, pe_freqs=7),
+            ),
+            num_nerf_samples_per_ray=128,
+            num_proposal_samples_per_ray=(512, 256),
+            proposal_weights_anneal_max_num_iters=5000,
+            proposal_no_grad_schedule=False, remat=False),
+        max_num_iterations=100_000,
+        train_num_rays_per_batch=8192, eval_num_rays_per_batch=4096,
+        learning_rate=1e-3, lr_final=1e-5, lr_decay_max_steps=100_000,
+        prop_learning_rate=1e-3, prop_lr_final=1e-5,
+        prop_lr_decay_max_steps=100_000, adam_eps=1e-8),
+    "cropnerf-mxu-huge": TrainConfig(
+        model=ModelConfig(
+            field=FieldConfig(field_type="vanilla", hidden_dim=256,
+                              geo_feat_dim=30, hidden_dim_color=256,
+                              hidden_dim_semantics=128,
+                              num_layers_semantic=3,
+                              mlp_impl="pallas-fused", fused_tile_bwd=512),
+            proposal_fields=(
+                ProposalFieldConfig(field_type="pe", hidden_dim=64,
+                                    num_layers=3, pe_freqs=7),
+                ProposalFieldConfig(field_type="pe", hidden_dim=64,
+                                    num_layers=3, pe_freqs=8),
+            ),
+            num_nerf_samples_per_ray=64,
+            num_proposal_samples_per_ray=(512, 512),
+            proposal_weights_anneal_max_num_iters=5000,
+            proposal_no_grad_schedule=False, remat=False),
+        max_num_iterations=100_000,
+        train_num_rays_per_batch=16384, eval_num_rays_per_batch=4096,
+        learning_rate=1e-3, lr_final=1e-5, lr_decay_max_steps=100_000,
+        prop_learning_rate=1e-3, prop_lr_final=1e-5,
+        prop_lr_decay_max_steps=100_000, adam_eps=1e-8,
+        camera_opt_optimizer="radam", camera_opt_lr=6e-4,
+        camera_opt_eps=1e-8, camera_opt_weight_decay=1e-3,
+        camera_opt_lr_final=6e-5, camera_opt_decay_steps=50_000),
     # tiny CPU-runnable preset for tests / CI (no reference analogue)
     "cropnerf-tiny": TrainConfig(
         model=ModelConfig(

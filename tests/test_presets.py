@@ -69,3 +69,28 @@ class TestConfigRoundtrip:
         d = json.loads(json.dumps(dataclasses.asdict(cfg)))
         cfg2 = train_config_from_dict(d)
         assert cfg2 == cfg
+
+
+def test_mxu_tier_presets_mirror_reference_ladder():
+    """The TPU-native mxu family carries the fruit_nerf_big/_huge scale
+    ladder (rays, samples, head widths, anneal; fruit_nerf_config.py:68-172)
+    with gather-free PE fields; fused-kernel tiles must divide the
+    2^20-sample batches."""
+    for name, rays, nerf_s, prop_s in (
+            ("cropnerf-mxu-big", 8192, 128, (512, 256)),
+            ("cropnerf-mxu-huge", 16384, 64, (512, 512))):
+        cfg = PRESETS[name]
+        m = cfg.model
+        assert cfg.train_num_rays_per_batch == rays
+        assert m.num_nerf_samples_per_ray == nerf_s
+        assert m.num_proposal_samples_per_ray == prop_s
+        assert cfg.max_num_iterations == 100_000
+        assert m.proposal_weights_anneal_max_num_iters == 5000
+        assert m.field.field_type == "vanilla"
+        assert all(p.field_type == "pe" for p in m.proposal_fields)
+        n = rays * nerf_s
+        assert n % m.field.fused_tile == 0
+        assert n % m.field.fused_tile_bwd == 0
+    assert PRESETS["cropnerf-mxu-big"].model.field.geo_feat_dim == 30
+    assert PRESETS["cropnerf-mxu-huge"].model.field.hidden_dim_color == 256
+    assert PRESETS["cropnerf-mxu-huge"].camera_opt_optimizer == "radam"
