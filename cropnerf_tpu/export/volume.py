@@ -20,6 +20,7 @@ components/ray_generators.py:24-66):
 from __future__ import annotations
 
 import dataclasses
+import functools
 from pathlib import Path
 from typing import Dict, Optional, Tuple
 
@@ -73,6 +74,102 @@ class ExportedCloud:
     alpha: np.ndarray
 
 
+def _field_chunk(params, origins, key, n_valid, geom, thresholds, *,
+                 model_cfg, B, num_samples, render_rgb):
+    """One dense chunk eval → (pts, rgb, sem, sig, density mask)."""
+    aabb_j, direction, far = geom
+    rb = RayBundle(
+        origins=origins,
+        directions=jnp.broadcast_to(direction, origins.shape),
+        nears=jnp.zeros((B,)), fars=jnp.broadcast_to(far, (B,)),
+        camera_idx=jnp.zeros((B,), jnp.int32))
+    out = forward_export(params, rb, model_cfg, num_samples, aabb_j,
+                         key=key, render_rgb_samples=render_rgb)
+    total = B * num_samples
+    density = out["density"].reshape(-1)
+    sem = out["semantics"].reshape(-1)
+    pts = out["point_location"].reshape(-1, 3)
+    rgb = (out["rgb"].reshape(-1, 3) if render_rgb
+           else jnp.zeros((pts.shape[0], 3)))
+    sig = jax.nn.sigmoid(sem)
+    mask_den = density >= thresholds[1]
+    # Drop the tail-padding rays (the last chunk repeats its final origin
+    # up to the static batch size — those rows must not emit points).
+    ray_of_row = jnp.arange(total, dtype=jnp.int32) // num_samples
+    mask_den = mask_den & (ray_of_row < n_valid)
+    return pts, rgb, sem, sig, mask_den
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "model_cfg", "B", "num_samples", "K", "G", "n_rays", "render_rgb"))
+def _run_all(params, origins_all, key, geom, thresholds, *, model_cfg, B,
+             num_samples, K, G, n_rays, render_rgb):
+    """scan over chunks; survivors stream into buf at a write pointer.
+
+    Module-level (not a per-call closure) so repeated exports with the same
+    grid/preset hit the jit cache instead of paying a fresh remote-AOT
+    compile (~8 s on the tunneled setup) every call.  Thresholds are traced
+    scalars — changing them does not recompile.
+
+    A chunk is accepted iff its survivors fit both budgets; rejected chunks
+    write into the [G, G+K) dump zone (no data-dependent control flow — one
+    unconditional dynamic_update_slice per step) and are flagged for the
+    host's dense fallback.  Rows past an accepted chunk's count are garbage
+    but the pointer only advances by count, so the next accepted chunk
+    overwrites them; the host slices [:ptr].
+    """
+    W = 6 + (3 if render_rgb else 0)
+    n_chunks = origins_all.shape[0] // B
+
+    def _slab(origins, sub, n_valid):
+        pts, rgb, sem, sig, mask_den = _field_chunk(
+            params, origins, sub, n_valid, geom, thresholds,
+            model_cfg=model_cfg, B=B, num_samples=num_samples,
+            render_rgb=render_rgb)
+        count = jnp.sum(mask_den)
+        idx = jnp.nonzero(mask_den, size=K, fill_value=0)[0]
+        sem_k, sig_k = sem[idx], sig[idx]
+        cols = [pts[idx], sig_k[:, None],
+                (sem_k >= thresholds[0]).astype(jnp.float32)[:, None],
+                (sig_k >= thresholds[2]).astype(jnp.float32)[:, None]]
+        if render_rgb:
+            cols.append(rgb[idx])
+        return jnp.concatenate(cols, axis=1), count
+
+    def body(carry, c):
+        ptr, buf = carry
+        origins = jax.lax.dynamic_slice(origins_all, (c * B, 0), (B, 3))
+        n_valid = jnp.minimum(n_rays - c * B, B)
+        slab, count = _slab(origins, jax.random.fold_in(key, c), n_valid)
+        accept = (count <= K) & (ptr + K <= G)
+        write_at = jnp.where(accept, ptr, G)
+        buf = jax.lax.dynamic_update_slice(buf, slab, (write_at, 0))
+        ptr = jnp.where(accept, ptr + count, ptr)
+        return (ptr, buf), jnp.logical_and(~accept, count > 0)
+
+    buf0 = jnp.zeros((G + K, W), jnp.float32)
+    (ptr, buf), flags = jax.lax.scan(
+        body, (jnp.int32(0), buf0), jnp.arange(n_chunks, dtype=jnp.int32))
+    return ptr, buf, flags
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "model_cfg", "B", "num_samples", "render_rgb"))
+def _run_chunk_dense(params, origins, key, n_valid, geom, thresholds, *,
+                     model_cfg, B, num_samples, render_rgb):
+    """Overflow fallback: dense per-sample transfer for one chunk."""
+    pts, rgb, sem, sig, mask_den = _field_chunk(
+        params, origins, key, n_valid, geom, thresholds,
+        model_cfg=model_cfg, B=B, num_samples=num_samples,
+        render_rgb=render_rgb)
+    return {
+        "pts": pts, "rgb": rgb, "sig": sig,
+        "sem_ok": sem >= thresholds[0],
+        "cmap_ok": sig >= thresholds[2],
+        "valid": mask_den,
+    }
+
+
 def sample_volume(params, model_cfg: ModelConfig, aabb: np.ndarray,
                   num_points_per_side: int = 3000,
                   rays_per_batch: int = 512,
@@ -82,61 +179,99 @@ def sample_volume(params, model_cfg: ModelConfig, aabb: np.ndarray,
                   seed: int = 0,
                   semantic_threshold: float = SEMANTIC_LOGIT_THRESHOLD,
                   density_threshold: float = DENSITY_THRESHOLD,
-                  colormap_threshold: float = COLORMAP_THRESHOLD
+                  colormap_threshold: float = COLORMAP_THRESHOLD,
+                  max_points_per_batch: Optional[int] = None,
+                  max_total_points: Optional[int] = None
                   ) -> Dict[str, ExportedCloud]:
     """Dense volume sampling → {"semantic", "semantic_colormap", "density"}
-    clouds in the dataparser (scaled) frame."""
+    clouds in the dataparser (scaled) frame.
+
+    The whole chunk loop runs ON DEVICE as one ``lax.scan``: each chunk is
+    evaluated densely in VMEM/HBM, compacted on the density mask (the
+    superset of all three cloud masks) via a fixed-size ``jnp.nonzero`` +
+    row gather, and streamed into a global survivor buffer at a running
+    write pointer.  The host issues ONE dispatch and transfers ONLY the
+    final survivor rows — the reference's exporter loop
+    (exporter_utils.py:47-108) makes a host round-trip per 512-ray chunk
+    (~17.6k of them at its 3000^3 defaults), which on a tunneled TPU is
+    latency-bound, not compute-bound.
+
+    ``max_points_per_batch`` (K) bounds per-chunk survivors;
+    ``max_total_points`` (G) bounds the global buffer.  Chunks that
+    overflow either bound are flagged on device and re-run by the host via
+    a dense-transfer fallback (lazily jitted, same key), so results are
+    exact regardless of the budgets.
+    """
     num_samples = num_samples or num_points_per_side
     origins_np, dir_np, far = orthographic_ray_grid(aabb, num_points_per_side,
                                                     axis)
     aabb_j = jnp.asarray(aabb, jnp.float32)
     B = rays_per_batch
+    total = B * num_samples
+    if max_points_per_batch is None:
+        max_points_per_batch = max(4096, total // 8)
+    K = min(max_points_per_batch, total)
+    n_rays = origins_np.shape[0]
+    n_chunks = (n_rays + B - 1) // B
+    if max_total_points is None:
+        max_total_points = min(n_chunks * K, 16_777_216)
+    G = max(max_total_points, K)
+    W = 6 + (3 if render_rgb else 0)    # x y z sig sem_ok cmap_ok (rgb)
+    static = dict(model_cfg=model_cfg, B=B, num_samples=num_samples, K=K,
+                  G=G, n_rays=n_rays, render_rgb=render_rgb)
+    thresholds = jnp.asarray(
+        [semantic_threshold, density_threshold, colormap_threshold],
+        jnp.float32)
+    geom = (aabb_j, jnp.asarray(dir_np), jnp.float32(far))
 
-    @jax.jit
-    def run_chunk(origins, key):
-        rb = RayBundle(
-            origins=origins,
-            directions=jnp.broadcast_to(jnp.asarray(dir_np), origins.shape),
-            nears=jnp.zeros((B,)), fars=jnp.full((B,), far),
-            camera_idx=jnp.zeros((B,), jnp.int32))
-        out = forward_export(params, rb, model_cfg, num_samples, aabb_j,
-                             key=key, render_rgb_samples=render_rgb)
-        density = out["density"].reshape(-1)
-        sem = out["semantics"].reshape(-1)
-        pts = out["point_location"].reshape(-1, 3)
-        rgb = (out["rgb"].reshape(-1, 3) if render_rgb
-               else jnp.zeros((pts.shape[0], 3)))
-        sig = jax.nn.sigmoid(sem)
-        mask_den = density >= density_threshold
-        return {
-            "pts": pts, "rgb": rgb, "sig": sig,
-            "mask_semantic": (sem >= semantic_threshold) & mask_den,
-            "mask_colormap": (sig >= colormap_threshold) & mask_den,
-            "mask_density": mask_den,
-        }
+    # pad the ray grid to n_chunks * B rows (masked out on device via n_valid)
+    if n_rays < n_chunks * B:
+        origins_all = np.concatenate(
+            [origins_np,
+             np.repeat(origins_np[-1:], n_chunks * B - n_rays, axis=0)], 0)
+    else:
+        origins_all = origins_np
+
+    key = jax.random.PRNGKey(seed)
+    ptr, buf, flags = _run_all(params, jnp.asarray(origins_all), key, geom,
+                               thresholds, **static)
+    n_total = int(jax.device_get(ptr))
+    rows = (np.asarray(jax.device_get(buf[:n_total])) if n_total
+            else np.zeros((0, W), np.float32))
+    flags = np.asarray(jax.device_get(flags))
 
     clouds = {k: {"points": [], "colors": [], "alpha": []}
               for k in ("semantic", "semantic_colormap", "density")}
-    key = jax.random.PRNGKey(seed)
-    n_rays = origins_np.shape[0]
-    for start in range(0, n_rays, B):
-        chunk = origins_np[start:start + B]
-        if chunk.shape[0] < B:               # pad the tail to the static size
-            pad = np.repeat(chunk[-1:], B - chunk.shape[0], axis=0)
-            chunk = np.concatenate([chunk, pad], axis=0)
-        key, sub = jax.random.split(key)
-        out = jax.device_get(run_chunk(jnp.asarray(chunk), sub))
-        for name, mask_key in (("semantic", "mask_semantic"),
-                               ("semantic_colormap", "mask_colormap"),
-                               ("density", "mask_density")):
-            m = out[mask_key]
+
+    def _accumulate(pts, rgb, sig, sem_ok, cmap_ok, valid):
+        for name, flag in (("semantic", sem_ok),
+                           ("semantic_colormap", cmap_ok),
+                           ("density", None)):
+            m = valid if flag is None else (valid & flag)
             if not m.any():
                 continue
-            clouds[name]["points"].append(out["pts"][m])
-            color = out["rgb"][m] if render_rgb else np.repeat(
-                out["sig"][m][:, None], 3, axis=1)
+            clouds[name]["points"].append(pts[m])
+            color = rgb[m] if render_rgb else np.repeat(
+                sig[m][:, None], 3, axis=1)
             clouds[name]["colors"].append(color)
-            clouds[name]["alpha"].append(out["sig"][m])
+            clouds[name]["alpha"].append(sig[m])
+
+    if rows.shape[0]:
+        _accumulate(rows[:, :3],
+                    rows[:, 6:9] if render_rgb else None,
+                    rows[:, 3], rows[:, 4] > 0.5, rows[:, 5] > 0.5,
+                    np.ones((rows.shape[0],), bool))
+
+    for c in np.nonzero(flags)[0]:            # budget overflow → dense path
+        start = int(c) * B
+        chunk = origins_all[start:start + B]
+        n_valid = min(B, n_rays - start)
+        out = jax.device_get(_run_chunk_dense(
+            params, jnp.asarray(chunk), jax.random.fold_in(key, int(c)),
+            n_valid, geom, thresholds, model_cfg=model_cfg, B=B,
+            num_samples=num_samples, render_rgb=render_rgb))
+        _accumulate(out["pts"], out["rgb"], out["sig"],
+                    out["sem_ok"], out["cmap_ok"], out["valid"])
 
     result = {}
     for name, acc in clouds.items():

@@ -67,6 +67,27 @@ class TestSampleVolume:
         pts = clouds["density"].points
         assert (pts >= aabb[0] - 1e-4).all() and (pts <= aabb[1] + 1e-4).all()
 
+    def test_budget_overflow_fallback_is_exact(self):
+        """Tiny per-chunk / global budgets force the dense fallback for
+        every chunk; the resulting clouds must match the default-budget run
+        point-for-point (same seed → same stratified noise)."""
+        params = model_init(jax.random.PRNGKey(0), CFG.model, num_images=2)
+        aabb = np.array([[-0.5, -0.5, -0.5], [0.5, 0.5, 0.5]], np.float32)
+        kw = dict(num_points_per_side=8, rays_per_batch=16, num_samples=8,
+                  semantic_threshold=-100.0, density_threshold=0.0,
+                  colormap_threshold=0.0, seed=3)
+        ref = sample_volume(params, CFG.model, aabb, **kw)
+        # max_points_per_batch < rays*samples → every chunk overflows K;
+        # also squeeze the global buffer to exercise the G bound
+        tiny = sample_volume(params, CFG.model, aabb,
+                             max_points_per_batch=4, max_total_points=4, **kw)
+        for name in ref:
+            r, t = ref[name], tiny[name]
+            assert r.points.shape == t.points.shape
+            # fallback appends per-chunk, so row ORDER matches the scan's
+            np.testing.assert_allclose(t.points, r.points, rtol=1e-6)
+            np.testing.assert_allclose(t.alpha, r.alpha, rtol=1e-6)
+
 
 class TestProjection:
     def test_bucket(self):
