@@ -113,6 +113,33 @@ class TestProjection:
         crop = _project_aabb_to_crop(cams, 0, aabb, 64, 64)
         assert crop is None
 
+    def test_batched_matches_single(self):
+        """iter_projections batches jobs per dispatch (incl. padding of the
+        last partial batch); results must equal per-job project() calls."""
+        params = model_init(jax.random.PRNGKey(0), CFG.model, num_images=2)
+        cams = ring_cameras(n=2, height=32, width=32, focal=40.0)
+        boxes = [
+            np.array([[-0.2, -0.2, -0.2], [0.2, 0.2, 0.2]], np.float32),
+            np.array([[0.0, 0.0, 0.0], [0.15, 0.15, 0.15]], np.float32),
+            # behind-ish / off-frame box exercises the crop=None path
+            np.array([[2.4, -0.1, 0.2], [2.8, 0.1, 0.5]], np.float32),
+        ]
+        jobs = [(c, b) for c in range(2) for b in boxes]
+        # small dispatch budget → at least one bucket gets J>1 batching
+        # with a padded final batch
+        proj = ClusterProjector(params, CFG.model, cams, 32, 32,
+                                rays_per_dispatch=2048)
+        got = {}
+        for idx, wo_occ, visible in proj.iter_projections(jobs):
+            assert idx not in got
+            got[idx] = (wo_occ, visible)
+        assert len(got) == len(jobs)
+        single = ClusterProjector(params, CFG.model, cams, 32, 32)
+        for idx, (c, b) in enumerate(jobs):
+            ref_wo, ref_vis = single.project(c, b)
+            np.testing.assert_allclose(got[idx][0], ref_wo, atol=1e-5)
+            np.testing.assert_allclose(got[idx][1], ref_vis, atol=1e-5)
+
     def test_projector_images(self):
         params = model_init(jax.random.PRNGKey(0), CFG.model, num_images=2)
         cams = ring_cameras(n=2, height=48, width=48, focal=60.0)
