@@ -206,6 +206,10 @@ def _cmd_project(args):
     label_paths = None
     if args.label_dir is not None:
         label_paths = sorted(Path(args.label_dir).glob("*.png"))
+        if not label_paths:
+            raise SystemExit(f"--label-dir {args.label_dir} contains no "
+                             ".png label images (expected label_*.png, one "
+                             "per training camera)")
     run_projections(trainer.state.params, trainer.cfg.model,
                     trainer.bank.cameras, h, w, info, out_dir,
                     label_paths=label_paths)

@@ -224,6 +224,12 @@ def run_projections(params, model_cfg: ModelConfig, cameras: Cameras,
     output_dir = Path(output_dir)
     n_cams = cameras.num_cameras
     cam_ids = camera_indices if camera_indices is not None else range(n_cams)
+    if label_paths is not None and len(label_paths) <= max(cam_ids, default=0):
+        raise ValueError(
+            f"label_paths has {len(label_paths)} entries but camera indices "
+            f"go up to {max(cam_ids)} — expected one label image per camera "
+            "(sorted order must match the training-split frame order; pass "
+            "label_paths=None to skip GT label copying)")
     projector = ClusterProjector(params, model_cfg, cameras, height,
                                  width, occlusion_threshold)
 

@@ -140,6 +140,20 @@ class TestProjection:
             np.testing.assert_allclose(got[idx][0], ref_wo, atol=1e-5)
             np.testing.assert_allclose(got[idx][1], ref_vis, atol=1e-5)
 
+    def test_run_projections_rejects_short_label_list(self, tmp_path):
+        """An empty/short label list must fail loudly up front, not with an
+        IndexError deep inside the camera loop (found by the verify drive:
+        an empty --label-dir glob produced label_paths=[])."""
+        import pytest
+
+        from cropnerf_tpu.projection.project import run_projections
+        params = model_init(jax.random.PRNGKey(0), CFG.model, num_images=2)
+        cams = ring_cameras(n=2, height=16, width=16, focal=20.0)
+        info = np.array([{"aabb": np.zeros((0, 2, 3), np.float32)}])
+        with pytest.raises(ValueError, match="one label image per camera"):
+            run_projections(params, CFG.model, cams, 16, 16, info,
+                            tmp_path, label_paths=[])
+
     def test_projector_images(self):
         params = model_init(jax.random.PRNGKey(0), CFG.model, num_images=2)
         cams = ring_cameras(n=2, height=48, width=48, focal=60.0)
