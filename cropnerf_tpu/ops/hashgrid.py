@@ -125,11 +125,31 @@ def _cell_index(pos: jnp.ndarray, res: int):
     return cell, frac
 
 
+def _corner_terms(frac: jnp.ndarray, corner: int):
+    """Per-dim trilinear terms t_d (the weight factors) and signs s_d
+    (dt_d/dfrac_d) for one corner — the single source of truth for the
+    corner weight/derivative math used by the forward, the analytic
+    backward, and the cell-packed paths."""
+    bits = (corner & 1, (corner >> 1) & 1, (corner >> 2) & 1)
+    t = [frac[:, d] if b else 1.0 - frac[:, d] for d, b in enumerate(bits)]
+    s = [(1.0 if b else -1.0) for b in bits]
+    return t, s
+
+
 def _corner_weight(frac: jnp.ndarray, corner: int) -> jnp.ndarray:
-    dx, dy, dz = corner & 1, (corner >> 1) & 1, (corner >> 2) & 1
-    return ((frac[:, 0] if dx else 1.0 - frac[:, 0])
-            * (frac[:, 1] if dy else 1.0 - frac[:, 1])
-            * (frac[:, 2] if dz else 1.0 - frac[:, 2]))
+    t, _ = _corner_terms(frac, corner)
+    return t[0] * t[1] * t[2]
+
+
+def _corner_w_dw(frac: jnp.ndarray, corner: int, res: int):
+    """Trilinear weight w [M] and its position derivative dw [M, 3]
+    (∂w/∂pos, including the ×res chain factor from pos → frac)."""
+    t, s = _corner_terms(frac, corner)
+    w = t[0] * t[1] * t[2]
+    dw = jnp.stack([s[0] * t[1] * t[2],
+                    t[0] * s[1] * t[2],
+                    t[0] * t[1] * s[2]], axis=-1) * float(res)
+    return w, dw
 
 
 def hashgrid_encode_ref(table: jnp.ndarray, positions: jnp.ndarray,
@@ -159,12 +179,9 @@ def hashgrid_encode_ref(table: jnp.ndarray, positions: jnp.ndarray,
     if packed:
         assert table_size is not None, "packed layout needs table_size"
         F = table.shape[1]
-        offsets = []
-        off = 0
-        for rows in level_row_counts(resolutions, table_size, hash_mode):
-            offsets.append(off)
-            off += rows
-        assert off == table.shape[0], (off, table.shape[0])
+        offsets, total = _level_offsets(resolutions, table_size, hash_mode,
+                                        packed=True)
+        assert total == table.shape[0], (total, table.shape[0])
     else:
         L, table_size_, F = table.shape
         assert len(resolutions) == L, (len(resolutions), L)
@@ -258,13 +275,9 @@ def _level_corners(pos: jnp.ndarray, res: int, table_size: int,
         else:
             idx = _hash3(base[:, 0] + bits[0], base[:, 1] + bits[1],
                          base[:, 2] + bits[2], table_size)
-        t = [frac[:, d] if b else 1.0 - frac[:, d]
-             for d, b in enumerate(bits)]
-        s = [(1.0 if b else -1.0) for b in bits]
-        ws.append(t[0] * t[1] * t[2])
-        dws.append(jnp.stack([s[0] * t[1] * t[2],
-                              t[0] * s[1] * t[2],
-                              t[0] * t[1] * s[2]], axis=-1) * float(res))
+        w, dw = _corner_w_dw(frac, corner, res)
+        ws.append(w)
+        dws.append(dw)
         idxs.append(idx)
     return jnp.stack(idxs), jnp.stack(ws), jnp.stack(dws)
 
@@ -324,15 +337,8 @@ def _encode_opt_bwd(resolutions, hash_mode, table_size, cell_pack,
             row = view[cell]                           # [M, 8F]
             dval_blocks = []
             for corner in range(8):
-                bits = (corner & 1, (corner >> 1) & 1, (corner >> 2) & 1)
-                w = _corner_weight(frac, corner)
+                w, dw = _corner_w_dw(frac, corner, res)
                 dval_blocks.append(gl * w[:, None])
-                t = [frac[:, d] if b else 1.0 - frac[:, d]
-                     for d, b in enumerate(bits)]
-                s = [(1.0 if b else -1.0) for b in bits]
-                dw = jnp.stack([s[0] * t[1] * t[2],
-                                t[0] * s[1] * t[2],
-                                t[0] * t[1] * s[2]], axis=-1) * float(res)
                 dot = jnp.sum(row[:, corner * F:(corner + 1) * F] * gl,
                               axis=-1)
                 dpos = dpos + dw * dot[:, None]

@@ -335,9 +335,13 @@ def _bwd(num_freqs, tile_n, interpret, dim, tile_bwd, res, g):
     x, base_wbs, top_wbs, s = res
     N = x.shape[0]
     on_tpu = jax.default_backend() == "tpu"
-    tile_n = _pick_tile(N, tile_bwd) if N else 0
+    # fwd/bwd must agree on the path: if the FORWARD fell back to the jnp
+    # reference (its tile chain missed N), the backward must differentiate
+    # that same path — never pair a reference forward with a kernel bwd
+    fwd_fell_back = N and _pick_tile(N, tile_n) == 0
+    tile_n = (_pick_tile(N, tile_bwd) if N and not fwd_fell_back else 0)
     if tile_n == 0 or (not on_tpu and not interpret):
-        if tile_n == 0 and N and (on_tpu or interpret):
+        if tile_n == 0 and N and not fwd_fell_back and (on_tpu or interpret):
             _warn_ref_fallback("fused_pe_density (bwd)", N, tile_bwd)
         def f(x, bw, tw):
             return _ref_forward(x, s, bw, tw, dim, num_freqs)
@@ -707,9 +711,11 @@ def _mega_bwd(num_freqs, pass_sem_grad, tile_n, interpret, dim, tile_bwd,
     g_t, g_rgb, g_sem = g
     N = x.shape[0]
     on_tpu = jax.default_backend() == "tpu"
-    tile_n = _pick_tile(N, tile_bwd) if N else 0
+    # never pair a reference forward with a kernel backward (see _bwd)
+    fwd_fell_back = N and _pick_tile(N, tile_n) == 0
+    tile_n = (_pick_tile(N, tile_bwd) if N and not fwd_fell_back else 0)
     if tile_n == 0 or (not on_tpu and not interpret):
-        if tile_n == 0 and N and (on_tpu or interpret):
+        if tile_n == 0 and N and not fwd_fell_back and (on_tpu or interpret):
             _warn_ref_fallback("fused_pe_nerf (bwd)", N, tile_bwd)
         def f(x, extras, bw, tw, cw, sw):
             return _mega_ref(x, extras, s, bw, tw, cw, sw, dim, num_freqs,
@@ -918,9 +924,11 @@ def _plain_bwd(num_freqs, tile_n, interpret, dim, tile_bwd, res, g):
     x, s, wbs = res
     N = x.shape[0]
     on_tpu = jax.default_backend() == "tpu"
-    tile_n = _pick_tile(N, tile_bwd) if N else 0
+    # never pair a reference forward with a kernel backward (see _bwd)
+    fwd_fell_back = N and _pick_tile(N, tile_n) == 0
+    tile_n = (_pick_tile(N, tile_bwd) if N and not fwd_fell_back else 0)
     if tile_n == 0 or (not on_tpu and not interpret):
-        if tile_n == 0 and N and (on_tpu or interpret):
+        if tile_n == 0 and N and not fwd_fell_back and (on_tpu or interpret):
             _warn_ref_fallback("fused_pe_mlp (bwd)", N, tile_bwd)
         def f(x, wbs):
             return _plain_ref(x, s, wbs, dim, num_freqs)

@@ -284,6 +284,36 @@ def test_pick_tile_divisor_fallback():
     assert _pick_tile(128, 4096) == 128
 
 
+def test_bwd_never_pairs_kernel_with_ref_forward():
+    """N=576: the fwd chain (1024→512→256→128) misses but the bwd chain
+    (768→384→192) hits.  The backward must then differentiate the SAME jnp
+    reference path the forward took — pairing a reference forward with a
+    kernel (recompute) backward yields gradients inconsistent with the
+    produced values.  With the paths coupled, the interpret=True run is
+    bit-identical to the pure-jnp run."""
+    F = 4
+    enc_dim = 3 * (1 + 2 * F)
+    H = 32
+    base = _wbs(jax.random.PRNGKey(24), [enc_dim, H, H])
+    top = _wbs(jax.random.PRNGKey(25), [H + enc_dim, H, 8])
+    x = jax.random.uniform(jax.random.PRNGKey(26), (576, 3), minval=-1,
+                           maxval=1)
+    s = jnp.asarray(pe_selector_matrix(F))
+
+    def loss(x, base, top, interpret):
+        out = fused_pe_density(x, s, base, top, F, 1024, interpret, 3, 768)
+        return jnp.sum(jnp.sin(out * 3.0)), out
+
+    (_, out_ref), g_ref = jax.value_and_grad(
+        loss, argnums=(0, 1, 2), has_aux=True)(x, base, top, False)
+    (_, out_k), g_k = jax.value_and_grad(
+        loss, argnums=(0, 1, 2), has_aux=True)(x, base, top, True)
+    np.testing.assert_array_equal(np.asarray(out_k), np.asarray(out_ref))
+    for a, b in zip(jax.tree_util.tree_leaves(g_k),
+                    jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_density_kernel_odd_tile_divisor_interpret():
     """End-to-end through _pick_tile: N=384 is divisible by neither the
     fwd preferred (1024→…→256? no: 384%256!=0) until 128, so both fwd and
