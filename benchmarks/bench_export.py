@@ -14,6 +14,7 @@ Run:  python benchmarks/bench_export.py            # TPU
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import os
 import sys
@@ -24,26 +25,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def dense_sample_volume(params, model_cfg, aabb, num_points_per_side,
-                        rays_per_batch, num_samples, density_threshold,
-                        semantic_threshold=3.0, colormap_threshold=0.9):
-    """The pre-compaction export loop: dense per-sample transfer per chunk
-    (kept here as the A/B baseline; matches export/volume.py @ r2)."""
+@functools.lru_cache(maxsize=None)
+def _dense_chunk_fn(model_cfg, B, num_samples, far, density_threshold,
+                    semantic_threshold, colormap_threshold, direction):
+    """Jitted dense-transfer chunk fn, cached on its static signature so a
+    second dense_sample_volume call reuses the warm executable (a per-call
+    `@jax.jit` closure would recompile every invocation — on the tunneled
+    TPU that is 8-100 s of remote-AOT time polluting the A/B)."""
     import jax
     import jax.numpy as jnp
     from cropnerf_tpu.core.rays import RayBundle
-    from cropnerf_tpu.export.volume import orthographic_ray_grid
     from cropnerf_tpu.models.model import forward_export
 
-    origins_np, dir_np, far = orthographic_ray_grid(aabb, num_points_per_side)
-    aabb_j = jnp.asarray(aabb, jnp.float32)
-    B = rays_per_batch
-
     @jax.jit
-    def run_chunk(origins, key):
+    def run_chunk(params, origins, aabb_j, key):
         rb = RayBundle(
             origins=origins,
-            directions=jnp.broadcast_to(jnp.asarray(dir_np), origins.shape),
+            directions=jnp.broadcast_to(jnp.asarray(direction), origins.shape),
             nears=jnp.zeros((B,)), fars=jnp.full((B,), far),
             camera_idx=jnp.zeros((B,), jnp.int32))
         out = forward_export(params, rb, model_cfg, num_samples, aabb_j,
@@ -60,6 +58,26 @@ def dense_sample_volume(params, model_cfg, aabb, num_points_per_side,
             "mask_density": mask_den,
         }
 
+    return run_chunk
+
+
+def dense_sample_volume(params, model_cfg, aabb, num_points_per_side,
+                        rays_per_batch, num_samples, density_threshold,
+                        semantic_threshold=3.0, colormap_threshold=0.9):
+    """The pre-compaction export loop: dense per-sample transfer per chunk
+    (kept here as the A/B baseline; matches export/volume.py @ r2)."""
+    import jax
+    import jax.numpy as jnp
+    from cropnerf_tpu.export.volume import orthographic_ray_grid
+
+    origins_np, dir_np, far = orthographic_ray_grid(aabb, num_points_per_side)
+    aabb_j = jnp.asarray(aabb, jnp.float32)
+    B = rays_per_batch
+    run_chunk = _dense_chunk_fn(
+        model_cfg, B, num_samples, float(far), float(density_threshold),
+        float(semantic_threshold), float(colormap_threshold),
+        tuple(float(v) for v in np.asarray(dir_np).reshape(-1)))
+
     key = jax.random.PRNGKey(0)
     total_pts = 0
     n_rays = origins_np.shape[0]
@@ -69,7 +87,8 @@ def dense_sample_volume(params, model_cfg, aabb, num_points_per_side,
             chunk = np.concatenate(
                 [chunk, np.repeat(chunk[-1:], B - chunk.shape[0], 0)], 0)
         key, sub = jax.random.split(key)
-        out = jax.device_get(run_chunk(jnp.asarray(chunk), sub))
+        out = jax.device_get(run_chunk(params, jnp.asarray(chunk), aabb_j,
+                                       sub))
         total_pts += int(out["mask_density"].sum())
     return total_pts
 

@@ -77,7 +77,6 @@ def main() -> None:
     step = make_train_step(cfg, num_inner=args.num_inner)
     key = jax.random.PRNGKey(1)
 
-    n_dispatch = args.iters // args.num_inner
     rays_total = args.iters * cfg.train_num_rays_per_batch
 
     # compile + slow-executable guard: time 3 dispatches, recompile if >5x

@@ -310,6 +310,12 @@ PRESETS = {
     # the reference's hidden_dim ladder maps to the heads); prop PE freqs
     # step up with the tiers' max_res.  fused_tile_bwd=512: these batches
     # are 2^20 samples, which 768 does not divide.
+    # Optimizer block DELIBERATELY follows the mxu flagship's PE-stability
+    # regime (Adam 1e-3 / eps 1e-8), NOT cropnerf-big/-huge's RAdam ladder:
+    # the reference's RAdam(1e-2, eps 1e-15) settings diverge on deep PE
+    # MLPs (measured on-chip — see the flagship comment).  PSNR-parity runs
+    # of mxu tiers vs hash tiers therefore compare field+optimizer regimes
+    # as shipped, not the field swap in isolation.
     "cropnerf-mxu-big": TrainConfig(
         model=ModelConfig(
             field=FieldConfig(field_type="vanilla", hidden_dim=256,

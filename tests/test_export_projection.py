@@ -89,6 +89,82 @@ class TestSampleVolume:
             np.testing.assert_allclose(t.alpha, r.alpha, rtol=1e-6)
 
 
+    def test_mixed_budget_exact(self):
+        """Accepted and rejected chunks interleaved, plus mid-run global-
+        buffer (G) saturation: the write-pointer / dump-zone interaction must
+        still yield the exact point set of the unbudgeted run.  (The
+        all-reject case above never exercises an accepted chunk next to a
+        rejected one, which is where a garbage-row or double-count bug in
+        the scan would hide.)  Budget paths reorder rows (fallback chunks
+        append last), so compare as sets."""
+        import jax.numpy as jnp
+
+        from cropnerf_tpu.export.volume import orthographic_ray_grid
+
+        params = model_init(jax.random.PRNGKey(0), CFG.model, num_images=2)
+        aabb = np.array([[-0.5, -0.5, -0.5], [0.5, 0.5, 0.5]], np.float32)
+        B, S, n_side, seed = 16, 8, 8, 3
+
+        origins, dir_np, far = orthographic_ray_grid(aabb, n_side)
+        geom = (jnp.asarray(aabb), jnp.asarray(dir_np), jnp.float32(far))
+        key = jax.random.PRNGKey(seed)
+        n_chunks = origins.shape[0] // B
+
+        kw = dict(num_points_per_side=n_side, rays_per_batch=B,
+                  num_samples=S, semantic_threshold=-100.0,
+                  colormap_threshold=0.0, seed=seed)
+        ref = sample_volume(params, CFG.model, aabb,
+                            density_threshold=0.0, **kw)
+
+        # per-chunk densities via the same per-chunk fold_in keys the scan
+        # uses, so thresholds derived here match the scan's survivor counts
+        from cropnerf_tpu.models.model import forward_export
+        from cropnerf_tpu.core.rays import RayBundle
+        dens = []
+        for c in range(n_chunks):
+            o = jnp.asarray(origins[c * B:(c + 1) * B])
+            rb = RayBundle(
+                origins=o,
+                directions=jnp.broadcast_to(geom[1], o.shape),
+                nears=jnp.zeros((B,)), fars=jnp.broadcast_to(geom[2], (B,)),
+                camera_idx=jnp.zeros((B,), jnp.int32))
+            dens.append(np.asarray(jax.device_get(forward_export(
+                params, rb, CFG.model, S, geom[0],
+                key=jax.random.fold_in(key, c))["density"])).reshape(-1))
+        # pick a density threshold where per-chunk survivor counts DIFFER
+        # (fixture guard: a mixed accept/reject split must be possible)
+        all_d = np.concatenate(dens)
+        for q in (0.5, 0.3, 0.7, 0.6, 0.4):
+            dthr = float(np.quantile(all_d, q))
+            counts = [int((d >= dthr).sum()) for d in dens]
+            if min(counts) < max(counts):
+                break
+        assert min(counts) < max(counts), counts
+        K = (min(counts) + max(counts) + 1) // 2   # strictly splits chunks
+
+        ref_mid = sample_volume(params, CFG.model, aabb,
+                                density_threshold=dthr, **kw)
+
+        def _as_set(cloud):
+            rows = np.concatenate(
+                [cloud.points, cloud.alpha[:, None]], axis=1)
+            return rows[np.lexsort(rows.T)]
+
+        # (a) mixed accept/reject via K
+        mixed = sample_volume(params, CFG.model, aabb, density_threshold=dthr,
+                              max_points_per_batch=K, **kw)
+        # (b) G saturates mid-run: first accepted chunk fits, then ptr+K>G
+        g_sat = sample_volume(params, CFG.model, aabb, density_threshold=dthr,
+                              max_points_per_batch=K,
+                              max_total_points=K + min(counts), **kw)
+        for variant in (mixed, g_sat):
+            for name in ref_mid:
+                np.testing.assert_allclose(
+                    _as_set(variant[name]), _as_set(ref_mid[name]), rtol=1e-6)
+        # sanity: the unbudgeted ref at threshold 0 has strictly more points
+        assert len(ref["density"].points) > len(ref_mid["density"].points)
+
+
 class TestProjection:
     def test_bucket(self):
         assert _bucket(1) == 128
