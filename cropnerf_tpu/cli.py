@@ -165,6 +165,60 @@ def _cmd_export(args):
     print(json.dumps({k: str(v) for k, v in paths.items()}))
 
 
+def _add_export_pointcloud(sub):
+    p = sub.add_parser(
+        "export-pointcloud",
+        help="depth-based semantic point cloud (≙ `ns-export pointcloud "
+             "--num-points 10000000`, README.md:125 / "
+             "debug/exporter_nerfacto.py)")
+    p.add_argument("--run-dir", type=Path, required=True)
+    p.add_argument("--output", type=Path, default=None,
+                   help="output .ply (default <run>/exports/semantics_pc.ply)")
+    p.add_argument("--num-points", type=int, default=1_000_000)
+    p.add_argument("--rays-per-batch", type=int, default=16384)
+    p.add_argument("--all-points", action="store_true",
+                   help="keep every surface point, not just semantic-"
+                        "positive rays (≙ only_semantics=False)")
+    p.add_argument("--semantic-threshold", type=float, default=0.5,
+                   help="semantics_colormap cutoff for kept rays")
+    p.add_argument("--accumulation-threshold", type=float, default=0.5)
+    p.add_argument("--keep-outliers", action="store_true",
+                   help="skip statistical outlier removal")
+    p.add_argument("--std-ratio", type=float, default=10.0)
+    p.add_argument("--normals-k", type=int, default=None,
+                   help="estimate PCA normals over k neighbours (slow on "
+                        "large clouds; reference estimates with k=10)")
+    p.add_argument("--unscale", action="store_true",
+                   help="apply the reference's 2/scale artifact transform")
+    p.add_argument("--seed", type=int, default=0)
+
+
+def _cmd_export_pointcloud(args):
+    from .export.pointcloud import export_depth_pointcloud
+    from .train.trainer import load_trainer_from_run
+
+    trainer = load_trainer_from_run(args.run_dir)
+    out = args.output or (Path(args.run_dir) / "exports" / "semantics_pc.ply")
+    scale = (2.0 / trainer.train_outputs.dataparser_scale
+             if args.unscale else 1.0)
+    path = export_depth_pointcloud(
+        trainer.state.params, trainer.cfg.model, trainer.bank, out,
+        normals_k=args.normals_k, scale_factor=scale,
+        num_points=args.num_points, rays_per_batch=args.rays_per_batch,
+        only_semantics=not args.all_points,
+        semantic_threshold=args.semantic_threshold,
+        accumulation_threshold=args.accumulation_threshold,
+        remove_outliers=not args.keep_outliers, std_ratio=args.std_ratio,
+        seed=args.seed)
+    from .export.ply import read_ply
+    n = len(read_ply(Path(path))[0])
+    if n == 0:
+        print("WARNING: semantics_pc.ply is empty — lower "
+              "--semantic-threshold/--accumulation-threshold or pass "
+              "--all-points for an under-trained model", flush=True)
+    print(json.dumps({"semantics_pc": str(path), "num_points": n}))
+
+
 def _add_segment(sub):
     p = sub.add_parser("segment", help="supercluster/subcluster segmentation "
                        "(≙ segmentation/segmenter.py)")
@@ -489,7 +543,8 @@ def main(argv=None):
         jax.config.update("jax_platforms", platform)
     parser = argparse.ArgumentParser(prog="cropnerf_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
-    for add in (_add_train, _add_export, _add_segment, _add_project,
+    for add in (_add_train, _add_export, _add_export_pointcloud,
+                _add_segment, _add_project,
                 _add_count, _add_depth_project, _add_depth_count,
                 _add_render, _add_uncertainty, _add_viewer,
                 _add_process_labels, _add_import_colmap):
@@ -498,6 +553,7 @@ def main(argv=None):
     {
         "train": _cmd_train,
         "export": _cmd_export,
+        "export-pointcloud": _cmd_export_pointcloud,
         "segment": _cmd_segment,
         "project": _cmd_project,
         "count": _cmd_count,

@@ -105,10 +105,23 @@ def estimate_normals(points: np.ndarray, k: int = 10,
 
 
 def export_depth_pointcloud(params, model_cfg: ModelConfig, bank: PixelBank,
-                            output_path: Path, **kwargs) -> Path:
-    """Write ``semantics_pc.ply`` (debug/exporter_nerfacto.py:99-146)."""
+                            output_path: Path,
+                            normals_k: Optional[int] = None,
+                            scale_factor: float = 1.0,
+                            **kwargs) -> Path:
+    """Write ``semantics_pc.ply`` (debug/exporter_nerfacto.py:99-146).
+
+    ``normals_k``: when set, estimate PCA normals over k-NN and store them
+    as nx/ny/nz (exporter_utils_nerfacto.py:203-225 estimate/orient step;
+    oriented towards the cloud centroid's +z viewpoint like the reference's
+    camera-orient pass).  ``scale_factor`` multiplies points on write (the
+    CLI passes 2/dataparser_scale for ``--unscale`` artifact parity)."""
     pts, cols = generate_point_cloud(params, model_cfg, bank, **kwargs)
+    normals = None
+    if normals_k and len(pts) > normals_k + 1:
+        centroid = pts.mean(axis=0) + np.array([0.0, 0.0, 1.0], np.float32)
+        normals = estimate_normals(pts, k=normals_k, orient_towards=centroid)
     output_path = Path(output_path)
     output_path.parent.mkdir(parents=True, exist_ok=True)
-    write_ply(output_path, pts, cols)
+    write_ply(output_path, pts * scale_factor, cols, normals=normals)
     return output_path

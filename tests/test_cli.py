@@ -28,6 +28,21 @@ class TestCli:
         paths = json.loads(out.strip().splitlines()[-1])
         assert set(paths) == {"semantic", "semantic_colormap", "density"}
 
+        # depth-based export (≙ ns-export pointcloud, README.md:125)
+        cli.main(["export-pointcloud", "--run-dir", str(run),
+                  "--num-points", "200", "--rays-per-batch", "256",
+                  "--all-points", "--accumulation-threshold", "0.1",
+                  "--keep-outliers", "--normals-k", "5"])
+        out = capsys.readouterr().out
+        res = json.loads(out.strip().splitlines()[-1])
+        pc = run / "exports" / "semantics_pc.ply"
+        assert res["semantics_pc"] == str(pc) and pc.exists()
+        from cropnerf_tpu.export.ply import read_ply
+        pts, _ = read_ply(pc)
+        assert len(pts) == res["num_points"] > 0
+        header = pc.read_bytes()[:400].decode("ascii", "ignore")
+        assert "property float nx" in header   # normals written
+
         # synthesise a cloud so segment has something regardless of the
         # 25-step model's export quality
         from cropnerf_tpu.export.ply import write_ply
