@@ -335,6 +335,11 @@ def _add_render(sub):
                             "accumulation"])
     p.add_argument("--eval-metrics", action="store_true",
                    help="also print averaged eval-image metrics")
+    p.add_argument("--export-cameras", action="store_true",
+                   help="write transforms_train/eval.json with camera-opt-"
+                        "adjusted train poses (≙ ExportCameraPoses, "
+                        "debug/exporter_nerfacto.py:151-176; consumed by "
+                        "depth-project)")
 
 
 def _cmd_render(args):
@@ -343,6 +348,14 @@ def _cmd_render(args):
     import json as _json
 
     trainer = load_trainer_from_run(args.run_dir)
+    if args.export_cameras:
+        from .evaluation.render_video import export_camera_poses
+        from .train.trainer import cameras_from_outputs
+        paths = export_camera_poses(
+            args.run_dir, cameras_from_outputs(trainer.train_outputs),
+            trainer.eval_cameras,
+            pose_adjustment=trainer.state.params["camera_opt"])
+        print(_json.dumps({k: str(v) for k, v in paths.items()}))
     out = args.output or (Path(args.run_dir) / "orbit.mp4")
     path = render_orbit_video(trainer.state.params, trainer.cfg, out,
                               n_frames=args.n_frames, radius=args.radius,

@@ -43,6 +43,20 @@ class TestCli:
         header = pc.read_bytes()[:400].decode("ascii", "ignore")
         assert "property float nx" in header   # normals written
 
+        # orbit render + camera-pose export (≙ ns-render / ExportCameraPoses)
+        cli.main(["render", "--run-dir", str(run), "--n-frames", "2",
+                  "--size", "24", "--export-cameras"])
+        out = capsys.readouterr().out.strip().splitlines()
+        campaths = json.loads(out[0])
+        for split in ("train", "eval"):
+            tj = json.loads(open(campaths[split]).read())
+            assert len(tj["frames"]) > 0
+            mat = np.array(tj["frames"][0]["transform"])
+            assert mat.shape == (4, 4) and np.isfinite(mat).all()
+        from pathlib import Path as _P
+        orbit = _P(out[-1])
+        assert orbit.exists()   # mp4, or PNG frame dir fallback
+
         # synthesise a cloud so segment has something regardless of the
         # 25-step model's export quality
         from cropnerf_tpu.export.ply import write_ply
