@@ -517,6 +517,27 @@ def _cmd_process_labels(args):
     print(f"converted {n} images")
 
 
+def _add_rescale(sub):
+    p = sub.add_parser("rescale", help="downscale an image/label directory "
+                       "by an integer factor (≙ utils/rescale.py; the "
+                       "reference preprocess emits 2x/4x/8x pyramids, "
+                       "fruit_nerf_dataset.py:287-299)")
+    p.add_argument("--src-dir", type=Path, required=True)
+    p.add_argument("--dst-dir", type=Path, required=True)
+    p.add_argument("--factor", type=int, required=True)
+    p.add_argument("--pattern", default="*.png")
+    p.add_argument("--nearest", action="store_true",
+                   help="nearest-neighbour resampling (REQUIRED for label/"
+                        "mask images so ids are not interpolated)")
+
+
+def _cmd_rescale(args):
+    from .data.preprocess import rescale_images
+    n = rescale_images(args.src_dir, args.dst_dir, args.factor,
+                       pattern=args.pattern, nearest=args.nearest)
+    print(json.dumps({"rescaled": n, "dst": str(args.dst_dir)}))
+
+
 def _add_import_colmap(sub):
     p = sub.add_parser("import-colmap", help="COLMAP sparse model → "
                        "transforms.json in the 3DCotton layout "
@@ -560,7 +581,7 @@ def main(argv=None):
                 _add_segment, _add_project,
                 _add_count, _add_depth_project, _add_depth_count,
                 _add_render, _add_uncertainty, _add_viewer,
-                _add_process_labels, _add_import_colmap):
+                _add_process_labels, _add_rescale, _add_import_colmap):
         add(sub)
     args = parser.parse_args(argv)
     {
@@ -576,6 +597,7 @@ def main(argv=None):
         "depth-count": _cmd_depth_count,
         "viewer": _cmd_viewer,
         "process-labels": _cmd_process_labels,
+        "rescale": _cmd_rescale,
         "import-colmap": _cmd_import_colmap,
     }[args.command](args)
 

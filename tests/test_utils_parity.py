@@ -1,0 +1,122 @@
+"""Tests for the small parity utilities that back the reference's one-off
+tools: preprocess helpers (utils/rescale.py, thick_contour_extractor.py,
+cotton_dataset mask threshold), the clustering variants
+(segmentation/clustering.py), and the parallel/profiling helpers."""
+import numpy as np
+import pytest
+
+from cropnerf_tpu.counting.clustering import kmeans_elbow, spectral_clustering
+from cropnerf_tpu.counting.segmenter import bounds_as_sorted_list
+from cropnerf_tpu.data.preprocess import (binary_mask_from_instance_img,
+                                          boundary_mask, rescale_images)
+
+
+class TestPreprocessUtils:
+    def test_binary_mask_threshold(self):
+        img = np.zeros((8, 8, 3), np.uint8)
+        img[2:4, 2:4] = [9, 0, 0]      # gray mean 3 → NOT above threshold 3
+        img[5:7, 5:7] = [30, 30, 30]   # gray 30 → crop
+        m = binary_mask_from_instance_img(img)
+        assert m.dtype == np.uint8 and set(np.unique(m)) <= {0, 255}
+        assert (m[5:7, 5:7] == 255).all()
+        assert (m[2:4, 2:4] == 0).all()      # mean exactly 3 is background
+        # grayscale input path
+        m2 = binary_mask_from_instance_img(img.mean(-1).astype(np.uint8))
+        np.testing.assert_array_equal(m, m2)
+
+    def test_boundary_mask_ring(self):
+        lab = np.zeros((16, 16), np.uint8)
+        lab[4:12, 4:12] = 1
+        b = boundary_mask(lab, thickness=3)
+        assert b[4, 4] > 0 and b[11, 11] > 0        # edges marked
+        assert b[7, 7] == 0 and b[8, 8] == 0        # interior empty
+        assert b[0, 0] == 0                          # background empty
+
+    def test_rescale_images(self, tmp_path):
+        from PIL import Image
+        src, dst = tmp_path / "src", tmp_path / "dst"
+        src.mkdir()
+        lab = np.zeros((16, 20), np.uint8)
+        lab[:8] = 7
+        Image.fromarray(lab).save(src / "label_a.png")
+        n = rescale_images(src, dst, factor=2, nearest=True)
+        assert n == 1
+        out = np.asarray(Image.open(dst / "label_a.png"))
+        assert out.shape == (8, 10)
+        # nearest keeps exact label values (no interpolated 3s/4s)
+        assert set(np.unique(out)) == {0, 7}
+
+    def test_rescale_cli(self, tmp_path, capsys):
+        from PIL import Image
+        from cropnerf_tpu import cli
+        src, dst = tmp_path / "s", tmp_path / "d"
+        src.mkdir()
+        Image.fromarray(np.zeros((8, 8), np.uint8)).save(src / "x.png")
+        cli.main(["rescale", "--src-dir", str(src), "--dst-dir", str(dst),
+                  "--factor", "2", "--nearest"])
+        assert (dst / "x.png").exists()
+        assert np.asarray(Image.open(dst / "x.png")).shape == (4, 4)
+
+
+class TestClusteringVariants:
+    def _blobs(self, k, n=40, spread=0.02, dist=2.0, seed=0):
+        rng = np.random.RandomState(seed)
+        return np.concatenate([
+            rng.randn(n, 3) * spread + np.array([i * dist, 0, 0])
+            for i in range(k)])
+
+    def test_kmeans_elbow_finds_k(self):
+        pts = self._blobs(3)
+        labels = kmeans_elbow(pts, k_max=8, inertia_delta=0.5)
+        assert len(np.unique(labels)) == 3
+        # blob members agree on a label
+        for i in range(3):
+            assert len(np.unique(labels[i * 40:(i + 1) * 40])) == 1
+
+    def test_spectral_partitions_blobs(self):
+        pts = self._blobs(2)
+        labels = spectral_clustering(pts, k=2)
+        assert len(np.unique(labels)) == 2
+        assert len(np.unique(labels[:40])) == 1
+        assert labels[0] != labels[40]
+
+    def test_bounds_sorted_by_size(self):
+        rng = np.random.RandomState(1)
+        big = rng.rand(100, 3) + 10.0
+        small = rng.rand(20, 3)
+        pts = np.concatenate([small, big])
+        labels = np.array([0] * 20 + [1] * 100)
+        boxes = bounds_as_sorted_list(pts, labels)
+        assert len(boxes) == 2
+        # largest cluster first (segmenter.py:102-112)
+        assert boxes[0][0, 0] >= 9.0       # big cluster's min corner
+        assert boxes[1][1, 0] <= 1.5       # small cluster's max corner
+
+
+class TestParallelHelpers:
+    def test_pad_to_multiple(self):
+        from cropnerf_tpu.parallel.mesh import pad_to_multiple
+        assert pad_to_multiple(10, 8) == 16
+        assert pad_to_multiple(16, 8) == 16
+        assert pad_to_multiple(1, 8) == 8
+
+    def test_make_mesh_all_devices(self):
+        import jax
+        from cropnerf_tpu.parallel.mesh import DATA_AXIS, make_mesh
+        mesh = make_mesh()
+        assert mesh.axis_names == (DATA_AXIS,)
+        assert mesh.devices.size == len(jax.devices())
+
+    def test_single_host_slice_and_info(self):
+        from cropnerf_tpu.parallel.dist import local_batch_slice, process_info
+        info = process_info()
+        assert info["process_count"] == 1 and info["process_index"] == 0
+        assert local_batch_slice(64) == slice(0, 64)
+
+    def test_device_trace_writes(self, tmp_path):
+        import jax.numpy as jnp
+        from cropnerf_tpu.utils.profiling import device_trace
+        with device_trace(tmp_path / "trace"):
+            _ = (jnp.ones((32, 32)) @ jnp.ones((32, 32))).block_until_ready()
+        files = list((tmp_path / "trace").rglob("*"))
+        assert files, "profiler trace produced no files"
