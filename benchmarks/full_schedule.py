@@ -38,20 +38,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _build_bank():
-    import jax.numpy as jnp
-
-    from cropnerf_tpu.core.cameras import Cameras
-    from cropnerf_tpu.data.databank import build_pixel_bank
-
-    d = np.load(os.path.join(REPO, ".sphere_data.npz"))
-    images, masks, c2w, fx = d["images"], d["masks"], d["c2w"], d["fx"]
-    n, h, w = images.shape[:3]
-    cams = Cameras(
-        c2w=jnp.asarray(c2w), fx=jnp.asarray(fx), fy=jnp.asarray(fx),
-        cx=jnp.full((n,), w / 2.0), cy=jnp.full((n,), h / 2.0),
-        width=jnp.full((n,), w, jnp.int32),
-        height=jnp.full((n,), h, jnp.int32))
-    return build_pixel_bank(images, masks, cams), n
+    from sphere_fixture import load_sphere_bank
+    bank, _images, _cams, n, _h, _w = load_sphere_bank()
+    return bank, n
 
 
 def main() -> None:

@@ -10,7 +10,12 @@ is still pending the dataset — ROADMAP.md — but identical protocol applies.)
 Protocol per preset: train on the 24-view synthetic sphere scene
 (.sphere_data.npz), render views {0, 12} at each checkpoint step, report
 mean PSNR vs the ground-truth images.  Same seed, same sampling, same
-losses; only the field/proposal implementation differs.
+losses.  NOTE this compares the presets AS SHIPPED: the mxu presets pair
+the PE field with their Adam(1e-3, eps 1e-8) stability regime while the
+hash presets keep the reference's Adam(1e-2, eps 1e-15) — the reference
+regime diverges on PE MLPs (models/config.py), so a field-only controlled
+A/B is not shippable; results are preset-vs-preset (field + optimizer
+regime), not the field swap in isolation.
 
 Usage:
     python benchmarks/psnr_parity.py [--steps 2000] \
@@ -34,20 +39,8 @@ VIEWS = (0, 12)
 
 
 def _build():
-    import jax.numpy as jnp
-
-    from cropnerf_tpu.core.cameras import Cameras
-    from cropnerf_tpu.data.databank import build_pixel_bank
-
-    d = np.load(os.path.join(REPO, ".sphere_data.npz"))
-    images, masks, c2w, fx = d["images"], d["masks"], d["c2w"], d["fx"]
-    n, h, w = images.shape[:3]
-    cams = Cameras(
-        c2w=jnp.asarray(c2w), fx=jnp.asarray(fx), fy=jnp.asarray(fx),
-        cx=jnp.full((n,), w / 2.0), cy=jnp.full((n,), h / 2.0),
-        width=jnp.full((n,), w, jnp.int32),
-        height=jnp.full((n,), h, jnp.int32))
-    return build_pixel_bank(images, masks, cams), images, cams, n, h, w
+    from sphere_fixture import load_sphere_bank
+    return load_sphere_bank()
 
 
 def _render_psnr(render, params, cams, images, h, w):
@@ -81,35 +74,54 @@ def run_preset(name: str, steps: int, checkpoints) -> dict:
 
     rows = []
     done = 0
+    train_s = 0.0        # step-loop time only (renders/compile excluded)
     t0 = time.perf_counter()
     rows.append({"step": 0,
                  "psnr": _render_psnr(render, state.params, cams, images,
                                       h, w)})
     print(f"{name} step 0: psnr={rows[-1]['psnr']:.2f}", flush=True)
-    for target in checkpoints:
-        target = min(target, steps)
+    # always end the ladder exactly at `steps` (a hardcoded ladder would
+    # silently train fewer steps than requested for large --steps)
+    targets = [c for c in checkpoints if c < steps] + [steps]
+    m = None
+    for target in targets:
+        t_loop = time.perf_counter()
         while done < target:
             key, sub = jax.random.split(key)
             state, m = step(state, bank, sub)
             done += num_inner
             if (done // num_inner) % 10 == 0:
                 float(jax.device_get(m["loss"]))     # bound the queue
-        float(jax.device_get(m["loss"]))
+        if m is not None:
+            float(jax.device_get(m["loss"]))
+        train_s += time.perf_counter() - t_loop
         p = _render_psnr(render, state.params, cams, images, h, w)
-        rows.append({"step": done, "psnr": p,
+        rows.append({"step": done, "psnr": p, "train_s": round(train_s, 1),
                      "elapsed_s": round(time.perf_counter() - t0, 1)})
         print(f"{name} step {done}: psnr={p:.2f} "
-              f"({rows[-1]['elapsed_s']}s)", flush=True)
-        if target >= steps:
-            break
+              f"(train {rows[-1]['train_s']}s, wall {rows[-1]['elapsed_s']}s)",
+              flush=True)
+    # train_s excludes checkpoint renders but the FIRST step-loop interval
+    # still contains the one-off jit compile; steady-state ms/step is the
+    # honest per-preset speed figure
+    steady = None
+    if len(rows) >= 3:
+        steady = ((rows[-1]["train_s"] - rows[1]["train_s"])
+                  / max(rows[-1]["step"] - rows[1]["step"], 1) * 1e3)
     return {"preset": name, "checkpoints": rows,
-            "train_s": round(time.perf_counter() - t0, 1)}
+            "train_s": round(train_s, 1),
+            "wall_s": round(time.perf_counter() - t0, 1),
+            "steady_ms_per_step": round(steady, 2) if steady else None}
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--presets", default="cropnerf-mxu,cropnerf")
+    ap.add_argument("--out", default=os.path.join(
+        REPO, "benchmarks", "psnr_parity_results.json"),
+        help="results path (point smoke runs elsewhere to avoid "
+             "clobbering the committed v5e study)")
     args = ap.parse_args()
 
     import jax
@@ -120,8 +132,7 @@ def main() -> None:
     results = []
     for name in args.presets.split(","):
         results.append(run_preset(name.strip(), args.steps, checkpoints))
-        out = os.path.join(REPO, "benchmarks", "psnr_parity_results.json")
-        with open(out, "w") as f:     # write after each preset (long runs)
+        with open(args.out, "w") as f:   # write after each preset (long runs)
             json.dump({"steps": args.steps, "views": list(VIEWS),
                        "results": results}, f, indent=1)
     summary = {r["preset"]: r["checkpoints"][-1]["psnr"] for r in results}

@@ -155,9 +155,9 @@ def _cmd_export(args):
             ("semantic_threshold", args.semantic_threshold),
             ("density_threshold", args.density_threshold),
             ("colormap_threshold", args.colormap_threshold)) if v is not None})
-    from .export.ply import read_ply
+    from .export.ply import ply_vertex_count
     for name, p in paths.items():
-        n = len(read_ply(Path(p))[0])
+        n = ply_vertex_count(Path(p))
         if n == 0:
             print(f"WARNING: {name}.ply is empty — the model's density/"
                   f"semantic scale may be below the thresholds; try "
@@ -210,8 +210,8 @@ def _cmd_export_pointcloud(args):
         accumulation_threshold=args.accumulation_threshold,
         remove_outliers=not args.keep_outliers, std_ratio=args.std_ratio,
         seed=args.seed)
-    from .export.ply import read_ply
-    n = len(read_ply(Path(path))[0])
+    from .export.ply import ply_vertex_count
+    n = ply_vertex_count(Path(path))
     if n == 0:
         print("WARNING: semantics_pc.ply is empty — lower "
               "--semantic-threshold/--accumulation-threshold or pass "

@@ -60,6 +60,18 @@ def write_ply(path: Path, points: np.ndarray,
         rec.tofile(f)
 
 
+def ply_vertex_count(path: Path) -> int:
+    """Vertex count from the header only (no payload read — exported
+    clouds run to 10M+ points)."""
+    with open(path, "rb") as f:
+        while True:
+            line = f.readline().decode("ascii").strip()
+            if line.startswith("element vertex"):
+                return int(line.split()[2])
+            if line == "end_header" or not line:
+                raise ValueError(f"no vertex element in {path}")
+
+
 def read_ply(path: Path) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     """Read ascii or binary_little_endian PLY → (points [N,3] f32,
     colors [N,3] u8 or None).  Supports float/double xyz + uchar rgb(a)."""

@@ -86,16 +86,21 @@ def estimate_normals(points: np.ndarray, k: int = 10,
                      orient_towards: Optional[np.ndarray] = None
                      ) -> np.ndarray:
     """PCA normal estimation over k-NN (Open3D estimate_normals +
-    orient_normals semantics, exporter_utils_nerfacto.py:203-225)."""
+    orient_normals semantics, exporter_utils_nerfacto.py:203-225).
+
+    Fully vectorised — one parallel KD-tree query, a batched covariance
+    einsum and ONE stacked [N,3,3] eigendecomposition — so it scales to the
+    10M-point exports the CLI documents (a per-point Python loop would take
+    hours there)."""
     from scipy.spatial import cKDTree
-    tree = cKDTree(points)
-    _, nbrs = tree.query(points, k=k + 1)
-    normals = np.zeros_like(points)
-    for i in range(len(points)):
-        nb = points[nbrs[i, 1:]]
-        cov = np.cov((nb - nb.mean(0)).T)
-        w, v = np.linalg.eigh(cov)
-        normals[i] = v[:, 0]
+    pts = np.asarray(points, np.float64)
+    tree = cKDTree(pts)
+    _, nbrs = tree.query(pts, k=k + 1, workers=-1)
+    nb = pts[nbrs[:, 1:]]                       # [N, k, 3]
+    nb = nb - nb.mean(axis=1, keepdims=True)
+    cov = np.einsum("nki,nkj->nij", nb, nb) / max(k - 1, 1)   # [N, 3, 3]
+    _, vecs = np.linalg.eigh(cov)               # ascending eigenvalues
+    normals = vecs[..., 0].astype(np.float32)   # smallest-variance axis
     if orient_towards is not None:
         to_view = orient_towards[None, :] - points
         flip = np.sum(normals * to_view, axis=1) < 0
@@ -118,9 +123,18 @@ def export_depth_pointcloud(params, model_cfg: ModelConfig, bank: PixelBank,
     CLI passes 2/dataparser_scale for ``--unscale`` artifact parity)."""
     pts, cols = generate_point_cloud(params, model_cfg, bank, **kwargs)
     normals = None
-    if normals_k and len(pts) > normals_k + 1:
-        centroid = pts.mean(axis=0) + np.array([0.0, 0.0, 1.0], np.float32)
-        normals = estimate_normals(pts, k=normals_k, orient_towards=centroid)
+    if normals_k:
+        if len(pts) > normals_k + 1:
+            centroid = (pts.mean(axis=0)
+                        + np.array([0.0, 0.0, 1.0], np.float32))
+            normals = estimate_normals(pts, k=normals_k,
+                                       orient_towards=centroid)
+        else:
+            import warnings
+            warnings.warn(
+                f"normals requested (k={normals_k}) but the cloud has only "
+                f"{len(pts)} points — writing the PLY WITHOUT nx/ny/nz",
+                stacklevel=2)
     output_path = Path(output_path)
     output_path.parent.mkdir(parents=True, exist_ok=True)
     write_ply(output_path, pts * scale_factor, cols, normals=normals)
