@@ -40,11 +40,9 @@ Pending:
     narrow ones on dense levels) — expected ~1.3-1.4x on the 2.29 s hash
     step; worth doing for the parity preset's dignity, not the headline.
   * mxu vs hash PSNR parity on real 3DCotton data (needs the dataset).
-  * RE-MEASURE benchmarks/bench_export.py speedup_vs_dense_transfer on
-    v5e: the committed 17.2x was taken before the dense arm's per-call
-    jit closure was hoisted (round-3 review finding) — its timed call
-    included a fresh remote-AOT compile, inflating the ratio.  The
-    compact-path absolute number (375 ms / 22.4 M q/s) is unaffected.
+  * (closed 2026-08-20) bench_export speedup re-measured with both arms
+    warm: 11.0x (was 17.2x with a dense-side recompile); compact path
+    400 ms / 21.0 M queries/s.  benchmarks/README.md updated.
 """
 import time, sys
 sys.path.insert(0, "/root/repo")
