@@ -44,6 +44,7 @@ def jnp_zero():
 
 
 def main() -> None:
+    import argparse
     import jax
     import jax.numpy as jnp
 
@@ -62,7 +63,11 @@ def main() -> None:
     from cropnerf_tpu.train.state import create_train_state
     from cropnerf_tpu.train.step import compute_losses
 
-    cfg = PRESETS["cropnerf-mxu"]
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="cropnerf-mxu",
+                    help="any PRESETS name (e.g. cropnerf-mxu-big)")
+    args, _ = ap.parse_known_args()
+    cfg = PRESETS[args.preset]
     m = cfg.model
     bank, n_img = _make_bank()
     R = cfg.train_num_rays_per_batch
