@@ -35,6 +35,15 @@ Done (2026-08-20, round 3):
     field density (tile_bwd=512, the round-2 ADVICE fix) compiles and runs
     at a 4096x48 batch on v5e.
 
+Done (2026-08-20 pm, round-3 continuation):
+  * mxu-huge full step measured: 218.4 ms/step (75.0 k rays/s) at 16384
+    rays x (512+512+64) — faster per-ray than mxu-big (interlevel pair
+    count is field x prop samples; see benchmarks/README.md).
+  * Tier convergence smokes (300 steps, sphere fixture): mxu-big PSNR
+    8.15 -> 24.85, mxu-huge 8.12 -> 22.01.
+  * bench.py re-validated: 200.3 k rays/s; dryrun_multichip(8) OK
+    (grad-equiv 9.5e-07).
+
 Pending:
   * (closed) hash path: cell-packed dense-level rows (one wide gather instead of 8
     narrow ones on dense levels) — expected ~1.3-1.4x on the 2.29 s hash
