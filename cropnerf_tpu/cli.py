@@ -66,6 +66,12 @@ def _add_train(sub):
                         "dispatch (.jpg → 125, else any nonzero)")
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in --output")
+    p.add_argument("--min-rays-per-s", type=float, default=None,
+                   help="throughput watchdog floor: if a post-compile "
+                        "logging window runs below this rate, clear JAX "
+                        "caches and re-jit the step (defends against the "
+                        "remote AOT service's nondeterministic ~1000x-slow "
+                        "executables; off by default)")
 
 
 def _cmd_train(args):
@@ -106,7 +112,8 @@ def _cmd_train(args):
                       resume=args.resume,
                       shard_bank=shard_bank,
                       steps_per_dispatch=args.steps_per_dispatch,
-                      semantic_threshold=thr)
+                      semantic_threshold=thr,
+                      min_rays_per_s=args.min_rays_per_s)
     trainer.install_signal_handlers()
     metrics = trainer.train(num_steps=args.max_steps)
     print(json.dumps({k: v for k, v in metrics.items()}, default=float))

@@ -29,6 +29,9 @@ from ..ops import metrics as metric_ops
 from .state import TrainState, create_train_state
 from .step import make_eval_batch_fn, make_render_fn, make_train_step
 
+# Bound on throughput-watchdog re-jits per run (see Trainer.min_rays_per_s)
+_MAX_SLOW_RETRIES = 2
+
 
 def cameras_from_outputs(out: DataparserOutputs) -> Cameras:
     return Cameras(
@@ -54,7 +57,8 @@ class Trainer:
                  shard_bank: Optional[bool] = None,
                  steps_per_dispatch: int = 1,
                  num_images_override: Optional[int] = None,
-                 semantic_threshold: "int | str" = SEMANTIC_THRESHOLD):
+                 semantic_threshold: "int | str" = SEMANTIC_THRESHOLD,
+                 min_rays_per_s: Optional[float] = None):
         from ..utils.cache import enable_compilation_cache
         enable_compilation_cache()
         self.cfg = cfg
@@ -105,11 +109,18 @@ class Trainer:
                 f"steps_per_dispatch={k}")
         self.steps_per_dispatch = k
         if self.shard_bank:
-            from .step import make_sharded_train_step
             assert k == 1, "steps_per_dispatch>1 not wired for sharded banks"
-            self.train_step = make_sharded_train_step(cfg, mesh)
-        else:
-            self.train_step = make_train_step(cfg, mesh=mesh, num_inner=k)
+        self.train_step = self._build_train_step()
+        # Throughput watchdog (failure detection, SURVEY §5.5/§5.3): the
+        # remote AOT compile service can nondeterministically emit a
+        # ~1000x-slow executable for the same program (root-caused
+        # 2026-08-17, CLAUDE.md).  When a post-compile logging window runs
+        # below this floor, the trainer clears the JAX executable cache and
+        # re-jits the train step (same params/state — a pure recompile),
+        # bounded by _MAX_SLOW_RETRIES.  Off by default; bench.py applies
+        # the same defense with a flagship-specific floor.
+        self.min_rays_per_s = min_rays_per_s
+        self._slow_retries = 0
         self.eval_batch_fn = make_eval_batch_fn(cfg)
         self.render = make_render_fn(cfg)
         self._loop_key = jax.random.PRNGKey(cfg.seed + 1)
@@ -126,6 +137,13 @@ class Trainer:
                 self.load_checkpoint(ckpts[-1])
                 print(f"resumed from {ckpts[-1].name} "
                       f"(step {int(self.state.step)})", flush=True)
+
+    def _build_train_step(self):
+        if self.shard_bank:
+            from .step import make_sharded_train_step
+            return make_sharded_train_step(self.cfg, self.mesh)
+        return make_train_step(self.cfg, mesh=self.mesh,
+                               num_inner=self.steps_per_dispatch)
 
     def _build_train_bank(self) -> PixelBank:
         if not self.shard_bank:
@@ -298,23 +316,47 @@ class Trainer:
         last_metrics: Dict[str, float] = {}
         t0 = time.perf_counter()
         rays_done = 0
+        # watchdog window state: the first window (and the one right after
+        # a re-jit) includes a compile, so it never triggers the floor
+        t_win, rays_win, win_has_compile = t0, 0, True
         for i in range(total // k):
             if self._stop_requested:
                 break
             self._loop_key, sub = jax.random.split(self._loop_key)
             self.state, metrics = self.train_step(self.state, self.bank, sub)
             rays_done += cfg.train_num_rays_per_batch * k
+            rays_win += cfg.train_num_rays_per_batch * k
             step = int(self.state.step)
             if step % log_every == 0 or i == total // k - 1:
+                # float() pulls device values — a real sync point, so the
+                # window rate below reflects executed (not queued) steps
                 m = {k: float(v) for k, v in metrics.items()}
-                dt = time.perf_counter() - t0
-                m["rays_per_s"] = rays_done / max(dt, 1e-9)
+                now = time.perf_counter()
+                m["rays_per_s"] = rays_done / max(now - t0, 1e-9)
+                rate_win = rays_win / max(now - t_win, 1e-9)
+                m["rays_per_s_window"] = rate_win
                 m["step"] = step
                 last_metrics = m
                 self.writer.write(step, m)
                 print(f"[step {step}] loss={m['loss']:.4f} "
                       f"psnr={m['psnr']:.2f} rays/s={m['rays_per_s']:.0f}",
                       flush=True)
+                if (self.min_rays_per_s is not None and not win_has_compile
+                        and rate_win < self.min_rays_per_s
+                        and self._slow_retries < _MAX_SLOW_RETRIES):
+                    print(f"[step {step}] WATCHDOG: window throughput "
+                          f"{rate_win:.0f} rays/s < floor "
+                          f"{self.min_rays_per_s:.0f} — suspect slow "
+                          f"executable; clearing caches and re-jitting "
+                          f"(retry {self._slow_retries + 1}/"
+                          f"{_MAX_SLOW_RETRIES})", flush=True)
+                    jax.clear_caches()
+                    self.train_step = self._build_train_step()
+                    self._slow_retries += 1
+                    win_has_compile = True
+                else:
+                    win_has_compile = False
+                t_win, rays_win = time.perf_counter(), 0
             if step % cfg.steps_per_eval_batch == 0 and step > 0:
                 eb = self.eval_batch(seed=step)
                 last_metrics.update(eb)

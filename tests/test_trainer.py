@@ -291,3 +291,35 @@ class TestStepsPerDispatch:
         data_cfg = DataparserConfig(data_dir=root, train_split_fraction=0.8)
         with pytest.raises(AssertionError):
             Trainer(cfg, data_cfg, tmp_path / "run", steps_per_dispatch=5)
+
+
+class TestThroughputWatchdog:
+    """Slow-executable watchdog (≙ bench.py's retry for the remote AOT
+    service's nondeterministic ~1000x-slow executables, CLAUDE.md)."""
+
+    def _trainer(self, tmp_path, **kw):
+        root = write_synthetic_dataset(tmp_path / "ds")
+        cfg = dataclasses.replace(PRESETS["cropnerf-tiny"],
+                                  train_num_rays_per_batch=64,
+                                  steps_per_eval_batch=10_000,
+                                  steps_per_eval_image=10_000,
+                                  steps_per_save=10_000)
+        data_cfg = DataparserConfig(data_dir=root, train_split_fraction=0.8)
+        return Trainer(cfg, data_cfg, tmp_path / "run", **kw)
+
+    def test_triggers_rejit_and_still_trains(self, tmp_path):
+        # An absurd floor makes every post-compile window "too slow": the
+        # trainer must re-jit at most _MAX_SLOW_RETRIES times (each retry's
+        # own recompile window is exempt) and training must stay correct.
+        t = self._trainer(tmp_path, min_rays_per_s=1e15)
+        metrics = t.train(num_steps=40, log_every=10)
+        from cropnerf_tpu.train.trainer import _MAX_SLOW_RETRIES
+        assert t._slow_retries == _MAX_SLOW_RETRIES
+        assert int(t.state.step) == 40
+        assert np.isfinite(metrics["loss"])
+        assert metrics["rays_per_s_window"] > 0
+
+    def test_disabled_by_default(self, tmp_path):
+        t = self._trainer(tmp_path)
+        t.train(num_steps=20, log_every=10)
+        assert t._slow_retries == 0
