@@ -44,6 +44,13 @@ Done (2026-08-20 pm, round-3 continuation):
   * bench.py re-validated: 200.3 k rays/s; dryrun_multichip(8) OK
     (grad-equiv 9.5e-07).
 
+Done (2026-08-20 pm, round-3 continuation 2):
+  * Trainer throughput watchdog (--min-rays-per-s) validated ON-CHIP:
+    jax.clear_caches() + re-jit mid-run through the axon tunnel is safe
+    (the log-window float() sync drains the queue first); 40-step tiny run
+    with a forced floor fired both retries, trained through them, loss
+    0.79 -> 0.088.
+
 Pending:
   * (closed) hash path: cell-packed dense-level rows (one wide gather instead of 8
     narrow ones on dense levels) — expected ~1.3-1.4x on the 2.29 s hash
