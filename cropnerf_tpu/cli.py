@@ -308,6 +308,12 @@ def _add_count(sub):
                    help="write overlay debug PNGs under "
                         "super_cluster_*/overlay/")
     p.add_argument("--output-ply", type=Path, default=None)
+    p.add_argument("--super-cluster-idx", type=int, default=-1,
+                   help="count only this supercluster (debug; -1 = all, "
+                        "≙ merger.py --super_cluster_idx); skips the "
+                        "result PLY like the reference")
+    p.add_argument("--n-thread", type=int, default=10,
+                   help="thread-pool size over superclusters")
 
 
 def _cmd_count(args):
@@ -324,10 +330,14 @@ def _cmd_count(args):
         scale_factor=args.scale_factor,
         label_dir=args.label_dir,
         orig_img_dir=args.orig_img_dir,
-        make_overlays=args.overlays)
+        make_overlays=args.overlays,
+        super_cluster_idx=args.super_cluster_idx,
+        n_thread=args.n_thread)
     result = count_instances(args.projection_dir, info, cfg)
-    out_ply = args.output_ply or (Path(args.pcd_dir) / "full_tree_seg_result.ply")
-    write_instance_cloud(out_ply, info, result)
+    if args.super_cluster_idx < 0:
+        out_ply = (args.output_ply
+                   or Path(args.pcd_dir) / "full_tree_seg_result.ply")
+        write_instance_cloud(out_ply, info, result)
     print(json.dumps({"total_count": result.total_count,
                       "per_super_cluster": result.per_super_cluster}))
 

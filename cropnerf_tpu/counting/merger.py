@@ -62,6 +62,9 @@ class MergerConfig:
     # it to the spatially nearest evidenced subcluster instead of counting
     # it as a singleton.
     attach_unlabeled: bool = False
+    # Debug: count only this supercluster (-1 = all), ≙ merger.py:372 +
+    # the single-cluster branch at :419-427.
+    super_cluster_idx: int = -1
 
 
 def copy_with_scaling(src: Path, dst: Path, scale_factor: float,
@@ -338,8 +341,15 @@ def count_instances(projection_dir: Path, super_cluster_info: np.ndarray,
                 props, affinity, labels, super_cluster_info[idx])
         return n_comp, labels, affinity
 
+    if cfg.super_cluster_idx >= 0:
+        if cfg.super_cluster_idx >= n_super:
+            raise ValueError(f"super_cluster_idx={cfg.super_cluster_idx} "
+                             f"out of range (have {n_super} superclusters)")
+        indices = [cfg.super_cluster_idx]
+    else:
+        indices = list(range(n_super))
     with ThreadPoolExecutor(max_workers=cfg.n_thread) as pool:
-        outputs = list(pool.map(handle, range(n_super)))
+        outputs = list(pool.map(handle, indices))
 
     total = 0
     counts, labels_list, affinities = [], [], []

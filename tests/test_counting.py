@@ -171,6 +171,19 @@ class TestMergerScoring:
         # global labels unique across superclusters
         all_labels = np.concatenate(result.labels)
         assert len(set(all_labels)) == 3
+        # single-supercluster debug mode (≙ merger.py --super_cluster_idx):
+        # counts only the selected cluster
+        for idx, expect in ((0, 1), (1, 2)):
+            r1 = count_instances(
+                tmp_path, info,
+                MergerConfig(frame_sampling_interval=1,
+                             super_cluster_idx=idx))
+            assert r1.per_super_cluster == [expect]
+            assert r1.total_count == expect
+        with pytest.raises(ValueError):
+            count_instances(tmp_path, info,
+                            MergerConfig(frame_sampling_interval=1,
+                                         super_cluster_idx=5))
 
 
 class TestScaleFactorAndOverlays:
