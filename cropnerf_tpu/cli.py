@@ -483,6 +483,8 @@ def _add_depth_count(sub):
                    choices=["clique", "bridge", "community"])
     p.add_argument("--binary-threshold", type=int, default=100)
     p.add_argument("--frame-sampling-interval", type=int, default=10)
+    p.add_argument("--super-cluster-idx", type=int, default=-1,
+                   help="count only this supercluster (-1 = all)")
 
 
 def _cmd_depth_count(args):
@@ -493,7 +495,8 @@ def _cmd_depth_count(args):
     cfg = DepthMergerConfig(
         graph_partition=args.graph_partition,
         binary_threshold=args.binary_threshold,
-        frame_sampling_interval=args.frame_sampling_interval)
+        frame_sampling_interval=args.frame_sampling_interval,
+        super_cluster_idx=args.super_cluster_idx)
     result = count_instances_depth(args.projection_dir, info, cfg)
     print(json.dumps({"total_count": result.total_count,
                       "per_super_cluster": result.per_super_cluster}))

@@ -121,6 +121,9 @@ class DepthMergerConfig:
     binary_threshold: int = 100
     frame_sampling_interval: int = 10
     max_super_clusters: int = 17
+    # Count only this supercluster (-1 = all); ≙ :312 — note the reference
+    # defaults this to 0 (single cluster), we default to counting all.
+    super_cluster_idx: int = -1
 
 
 def _areas_for_subcluster(cam_dir: Path, cid: int, thres: int
@@ -160,9 +163,16 @@ def count_instances_depth(projection_dir: Path, cluster_info: np.ndarray,
     (:341)."""
     projection_dir = Path(projection_dir)
     n_super = min(cfg.max_super_clusters, len(cluster_info))
+    if cfg.super_cluster_idx >= 0:
+        if cfg.super_cluster_idx >= n_super:
+            raise ValueError(f"super_cluster_idx={cfg.super_cluster_idx} "
+                             f"out of range (have {n_super} superclusters)")
+        indices = [cfg.super_cluster_idx]
+    else:
+        indices = list(range(n_super))
     total = 0
     counts, labels_list, affinities = [], [], []
-    for s in range(n_super):
+    for s in indices:
         sc_dir = projection_dir / f"super_cluster_{s}"
         cam_dirs = sorted(sc_dir.glob("cam_*"))
         n_cams = max((int(d.name.split("_")[-1]) for d in cam_dirs),

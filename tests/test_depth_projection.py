@@ -105,6 +105,19 @@ class TestDepthPipeline:
                                  graph_partition="community")
         result = count_instances_depth(tmp_path, info, mcfg)
         assert result.total_count == 2
+        # single-supercluster debug mode (≙ --super_cluster_idx)
+        r0 = count_instances_depth(
+            tmp_path, info,
+            DepthMergerConfig(frame_sampling_interval=1,
+                              binary_threshold=100,
+                              graph_partition="community",
+                              super_cluster_idx=0))
+        assert r0.total_count == 2 and r0.per_super_cluster == [2]
+        import pytest
+        with pytest.raises(ValueError):
+            count_instances_depth(
+                tmp_path, info,
+                DepthMergerConfig(super_cluster_idx=3))
 
 
 class TestDepthPointcloudExport:
