@@ -338,6 +338,12 @@ def _cmd_count(args):
         out_ply = (args.output_ply
                    or Path(args.pcd_dir) / "full_tree_seg_result.ply")
         write_instance_cloud(out_ply, info, result)
+    elif args.output_ply is not None:
+        # reference single-cluster mode never writes the result PLY
+        # (merger.py:443-456); say so instead of silently dropping the flag
+        print(f"note: --output-ply ignored with --super-cluster-idx="
+              f"{args.super_cluster_idx} (single-cluster debug mode writes "
+              f"no result PLY, matching the reference)", flush=True)
     print(json.dumps({"total_count": result.total_count,
                       "per_super_cluster": result.per_super_cluster}))
 

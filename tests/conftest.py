@@ -27,8 +27,14 @@ import pytest  # noqa: E402
 # "241 passed" summary → RC=134, while another process shared the remote
 # tunnel).  The suite's verdict is pytest's exitstatus; don't let an
 # out-of-scope plugin atexit turn green into red.  The hard exit lives in
-# pytest_unconfigure, which runs after the terminal summary is printed.
+# pytest_unconfigure, which runs after the terminal summary is printed —
+# and only fires when that plugin is actually loaded (advisor r3: plain-CPU
+# runs keep normal interpreter teardown, e.g. coverage atexit flushes).
 _exitstatus = None
+
+
+def _axon_plugin_loaded() -> bool:
+    return any("axon" in name for name in sys.modules)
 
 
 def pytest_sessionfinish(session, exitstatus):
@@ -38,7 +44,7 @@ def pytest_sessionfinish(session, exitstatus):
 
 @pytest.hookimpl(trylast=True)
 def pytest_unconfigure(config):
-    if _exitstatus is not None:
+    if _exitstatus is not None and _axon_plugin_loaded():
         sys.stdout.flush()
         sys.stderr.flush()
         os._exit(_exitstatus)
