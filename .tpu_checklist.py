@@ -56,6 +56,9 @@ Pending:
     narrow ones on dense levels) — expected ~1.3-1.4x on the 2.29 s hash
     step; worth doing for the parity preset's dignity, not the headline.
   * mxu vs hash PSNR parity on real 3DCotton data (needs the dataset).
+  * round 4: re-run bench.py — now emits model_flops_per_step / TFLOP/s /
+    MFU vs the measured 80 TFLOP/s peak (utils/flops.py); expected ~28
+    TFLOP/s = ~35% MFU at the 20.5 ms flagship step.
   * (closed 2026-08-20) bench_export speedup re-measured with both arms
     warm: 11.0x (was 17.2x with a dense-side recompile); compact path
     400 ms / 21.0 M queries/s.  benchmarks/README.md updated.

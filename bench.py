@@ -216,11 +216,28 @@ def main() -> None:
         retries += 1
     print(f"ms/step: {ms:.3f} (fused dispatch, num_inner={NUM_INNER})",
           file=sys.stderr)
+    # MFU accounting (utils/flops.py): analytic matmul FLOPs per step
+    # (fwd + 2x bwd, no remat recompute) against the box's measured bf16
+    # matmul ceiling — auditable per-component in `--breakdown`.
+    from cropnerf_tpu.utils.flops import (MEASURED_BF16_PEAK_TFLOPS, mfu,
+                                          train_step_flops)
+    fl = train_step_flops(cfg)
+    util = mfu(fl["model_flops_per_step"], ms / 1e3)
+    print(f"model matmul flops/step: {fl['model_flops_per_step']:.3e} "
+          f"(field fwd {fl['field_fwd_flops']:.3e}, prop fwd "
+          f"{fl['prop_fwd_flops']:.3e}) -> {util['tflops_per_s']:.1f} "
+          f"TFLOP/s = {util['mfu_vs_measured_peak']:.1%} of the measured "
+          f"{MEASURED_BF16_PEAK_TFLOPS:.0f} TFLOP/s bf16 peak",
+          file=sys.stderr)
     print(json.dumps({
         "metric": "train_rays_per_s_single_chip",
         "value": round(rays_per_s, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 3),
+        "ms_per_step": round(ms, 3),
+        "model_flops_per_step": fl["model_flops_per_step"],
+        "tflops_per_s": round(util["tflops_per_s"], 2),
+        "mfu_vs_measured_peak": round(util["mfu_vs_measured_peak"], 4),
     }))
 
 

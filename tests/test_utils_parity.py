@@ -165,3 +165,55 @@ class TestParallelHelpers:
             _ = (jnp.ones((32, 32)) @ jnp.ones((32, 32))).block_until_ready()
         files = list((tmp_path / "trace").rglob("*"))
         assert files, "profiler trace produced no files"
+
+
+class TestFlopsAccounting:
+    """utils/flops.py: the MFU denominator must be auditable by hand."""
+
+    def test_tiny_mlp_hand_count(self):
+        from cropnerf_tpu.utils.flops import _mlp_dims, _mlp_flops
+        # [4 -> 8 -> 2]: 2*(4*8) + 2*(8*2) = 96
+        assert _mlp_flops(_mlp_dims(4, 8, 2, 2)) == 96
+        # single layer [5 -> 3]: 2*15 = 30
+        assert _mlp_flops(_mlp_dims(5, 0, 3, 1)) == 30
+
+    def test_flagship_field_hand_count(self):
+        from cropnerf_tpu.models.config import PRESETS
+        from cropnerf_tpu.utils.flops import field_flops_per_sample
+        f = PRESETS["cropnerf-mxu"].model.field
+        # vanilla 8x256 trunk: encode 2*3*63; base [63,256,256,256,256];
+        # top [256+63,256,256,256,16]; color [15+27+32,64,3];
+        # sem [15,64,1]
+        expect = (2 * 3 * 63
+                  + 2 * (63 * 256 + 256 * 256 * 3)
+                  + 2 * (319 * 256 + 256 * 256 * 2 + 256 * 16)
+                  + 2 * (74 * 64 + 64 * 3)
+                  + 2 * (15 * 64 + 64 * 1))
+        assert field_flops_per_sample(f) == expect
+
+    def test_table_rows_hash_preset(self):
+        from cropnerf_tpu.models.config import PRESETS
+        from cropnerf_tpu.utils.flops import train_step_flops
+        d = train_step_flops(PRESETS["cropnerf"])
+        # 4096 rays * (48*16*8 field + (256+96)*5*8 props) corner gathers
+        assert d["table_rows_per_step"] == 4096 * (48 * 16 * 8
+                                                   + (256 + 96) * 5 * 8)
+
+    def test_no_grad_schedule_amortises_prop_bwd(self):
+        import dataclasses
+        from cropnerf_tpu.models.config import PRESETS
+        from cropnerf_tpu.utils.flops import train_step_flops
+        cfg = PRESETS["cropnerf"]
+        on = train_step_flops(cfg)  # schedule on (update_every=5)
+        off = train_step_flops(dataclasses.replace(
+            cfg, model=dataclasses.replace(
+                cfg.model, proposal_no_grad_schedule=False)))
+        assert on["model_flops_per_step"] < off["model_flops_per_step"]
+        delta = off["model_flops_per_step"] - on["model_flops_per_step"]
+        assert abs(delta - on["prop_fwd_flops"] * (2 - 2 / 5)) < 1.0
+
+    def test_mfu_math(self):
+        from cropnerf_tpu.utils.flops import mfu
+        m = mfu(80e12 * 0.010, 0.010, peak_tflops=80.0)
+        assert abs(m["tflops_per_s"] - 80.0) < 1e-9
+        assert abs(m["mfu_vs_measured_peak"] - 1.0) < 1e-9
