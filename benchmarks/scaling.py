@@ -30,6 +30,11 @@ def main() -> None:
                         help="measure the sharded-pixel-bank shard_map step "
                              "(multi-host data path) instead of the "
                              "replicated-bank step")
+    parser.add_argument("--mode", default="train",
+                        choices=["train", "render", "export"],
+                        help="which mesh-sharded path to sweep: the train "
+                             "step, the chunked renderer, or the export "
+                             "volume scan")
     args = parser.parse_args()
 
     if args.cpu:
@@ -69,6 +74,51 @@ def main() -> None:
         width=jnp.full((n_img,), w, jnp.int32),
         height=jnp.full((n_img,), h, jnp.int32))
     bank = build_pixel_bank(images, masks, cams)
+
+    if args.mode != "train":
+        from cropnerf_tpu.export.volume import sample_volume
+        from cropnerf_tpu.models.model import model_init
+        from cropnerf_tpu.train.step import make_render_fn
+
+        cfg = PRESETS[args.preset]
+        params = model_init(jax.random.PRNGKey(0), cfg.model,
+                            num_images=n_img)
+        results, base_rate = [], None
+        for n_dev in counts:
+            mesh = jax.sharding.Mesh(np.array(jax.devices()[:n_dev]),
+                                     ("data",))
+            if args.mode == "render":
+                render = make_render_fn(cfg, mesh=mesh)
+                size = 256
+                out = render(params, cams, jnp.int32(0), size, size)
+                jax.block_until_ready(out["rgb"])          # compile+warm
+                t0 = time.perf_counter()
+                for i in range(args.iters):
+                    out = render(params, cams, jnp.int32(i % n_img),
+                                 size, size)
+                jax.block_until_ready(out["rgb"])
+                rate = args.iters * size * size / (time.perf_counter() - t0)
+                unit = "rays_per_s"
+            else:                                          # export
+                kw = dict(num_points_per_side=64, rays_per_batch=512,
+                          num_samples=64, density_threshold=1e9)
+                aabb = np.array([[-1, -1, -1], [1, 1, 1]], np.float32)
+                sample_volume(params, cfg.model, aabb, mesh=mesh, **kw)
+                t0 = time.perf_counter()
+                for _ in range(max(args.iters // 10, 1)):
+                    sample_volume(params, cfg.model, aabb, mesh=mesh, **kw)
+                dt = time.perf_counter() - t0
+                rate = (max(args.iters // 10, 1) * 64 * 64 * 64) / dt
+                unit = "queries_per_s"
+            if base_rate is None:
+                base_rate = rate
+            eff = rate / (base_rate * n_dev)
+            results.append({"devices": n_dev, unit: round(rate, 1),
+                            "scaling_efficiency": round(eff, 3),
+                            "mode": args.mode})
+            print(json.dumps(results[-1]), flush=True)
+        print(json.dumps({"sweep": results}))
+        return
 
     results = []
     base_rate = None

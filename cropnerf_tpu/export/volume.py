@@ -100,16 +100,14 @@ def _field_chunk(params, origins, key, n_valid, geom, thresholds, *,
     return pts, rgb, sem, sig, mask_den
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "model_cfg", "B", "num_samples", "K", "G", "n_rays", "render_rgb"))
-def _run_all(params, origins_all, key, geom, thresholds, *, model_cfg, B,
-             num_samples, K, G, n_rays, render_rgb):
+def _scan_chunks(params, origins_st, chunk_ids, key, geom, thresholds, *,
+                 model_cfg, B, num_samples, K, G, n_rays, render_rgb):
     """scan over chunks; survivors stream into buf at a write pointer.
 
-    Module-level (not a per-call closure) so repeated exports with the same
-    grid/preset hit the jit cache instead of paying a fresh remote-AOT
-    compile (~8 s on the tunneled setup) every call.  Thresholds are traced
-    scalars — changing them does not recompile.
+    ``origins_st`` [n_chunks, B, 3] stacked chunk origins; ``chunk_ids``
+    [n_chunks] GLOBAL chunk indices (RNG fold_in + tail-padding arithmetic
+    stay device-placement-invariant, so the mesh-sharded path below and the
+    host dense fallback reproduce identical per-chunk results).
 
     A chunk is accepted iff its survivors fit both budgets; rejected chunks
     write into the [G, G+K) dump zone (no data-dependent control flow — one
@@ -119,7 +117,6 @@ def _run_all(params, origins_all, key, geom, thresholds, *, model_cfg, B,
     overwrites them; the host slices [:ptr].
     """
     W = 6 + (3 if render_rgb else 0)
-    n_chunks = origins_all.shape[0] // B
 
     def _slab(origins, sub, n_valid):
         pts, rgb, sem, sig, mask_den = _field_chunk(
@@ -136,9 +133,9 @@ def _run_all(params, origins_all, key, geom, thresholds, *, model_cfg, B,
             cols.append(rgb[idx])
         return jnp.concatenate(cols, axis=1), count
 
-    def body(carry, c):
+    def body(carry, oc):
         ptr, buf = carry
-        origins = jax.lax.dynamic_slice(origins_all, (c * B, 0), (B, 3))
+        origins, c = oc
         n_valid = jnp.minimum(n_rays - c * B, B)
         slab, count = _slab(origins, jax.random.fold_in(key, c), n_valid)
         accept = (count <= K) & (ptr + K <= G)
@@ -148,9 +145,51 @@ def _run_all(params, origins_all, key, geom, thresholds, *, model_cfg, B,
         return (ptr, buf), jnp.logical_and(~accept, count > 0)
 
     buf0 = jnp.zeros((G + K, W), jnp.float32)
-    (ptr, buf), flags = jax.lax.scan(
-        body, (jnp.int32(0), buf0), jnp.arange(n_chunks, dtype=jnp.int32))
+    (ptr, buf), flags = jax.lax.scan(body, (jnp.int32(0), buf0),
+                                     (origins_st, chunk_ids))
     return ptr, buf, flags
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "model_cfg", "B", "num_samples", "K", "G", "n_rays", "render_rgb"))
+def _run_all(params, origins_st, chunk_ids, key, geom, thresholds, *,
+             model_cfg, B, num_samples, K, G, n_rays, render_rgb):
+    """Single-device chunk scan.  Module-level (not a per-call closure) so
+    repeated exports with the same grid/preset hit the jit cache instead of
+    paying a fresh remote-AOT compile (~8 s on the tunneled setup) every
+    call.  Thresholds are traced scalars — changing them does not
+    recompile."""
+    return _scan_chunks(params, origins_st, chunk_ids, key, geom, thresholds,
+                        model_cfg=model_cfg, B=B, num_samples=num_samples,
+                        K=K, G=G, n_rays=n_rays, render_rgb=render_rgb)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "mesh", "model_cfg", "B", "num_samples", "K", "G", "n_rays",
+    "render_rgb"))
+def _run_all_sharded(params, origins_st, chunk_ids, key, geom, thresholds, *,
+                     mesh, model_cfg, B, num_samples, K, G, n_rays,
+                     render_rgb):
+    """Mesh-sharded chunk scan: chunks split over the 1-D ``data`` axis,
+    each device streaming survivors into ITS OWN buffer (embarrassingly
+    parallel — zero collectives; params replicated).  ``G`` here is the
+    PER-DEVICE budget.  Returns per-device (ptrs [ndev], bufs
+    [ndev, G+K, W]) plus the global chunk overflow flags."""
+    from jax.sharding import PartitionSpec as P
+
+    def local_scan(params, origins_l, ids_l, key, geom, thresholds):
+        ptr, buf, flags = _scan_chunks(
+            params, origins_l, ids_l, key, geom, thresholds,
+            model_cfg=model_cfg, B=B, num_samples=num_samples, K=K, G=G,
+            n_rays=n_rays, render_rgb=render_rgb)
+        return ptr[None], buf[None], flags
+
+    return jax.shard_map(
+        local_scan, mesh=mesh,
+        in_specs=(P(), P("data"), P("data"), P(), P(), P()),
+        out_specs=(P("data"), P("data"), P("data")),
+        check_vma=False,
+    )(params, origins_st, chunk_ids, key, geom, thresholds)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -181,7 +220,8 @@ def sample_volume(params, model_cfg: ModelConfig, aabb: np.ndarray,
                   density_threshold: float = DENSITY_THRESHOLD,
                   colormap_threshold: float = COLORMAP_THRESHOLD,
                   max_points_per_batch: Optional[int] = None,
-                  max_total_points: Optional[int] = None
+                  max_total_points: Optional[int] = None,
+                  mesh: Optional[jax.sharding.Mesh] = None
                   ) -> Dict[str, ExportedCloud]:
     """Dense volume sampling → {"semantic", "semantic_colormap", "density"}
     clouds in the dataparser (scaled) frame.
@@ -201,6 +241,13 @@ def sample_volume(params, model_cfg: ModelConfig, aabb: np.ndarray,
     overflow either bound are flagged on device and re-run by the host via
     a dense-transfer fallback (lazily jitted, same key), so results are
     exact regardless of the budgets.
+
+    ``mesh`` (1-D ``data`` axis): chunks split over devices, each device
+    streaming survivors into its own buffer inside ``shard_map`` — zero
+    collectives, per-chunk results identical to single-device (global
+    chunk ids drive the RNG), only the row ORDER becomes
+    grouped-by-device.  ``max_total_points`` stays the global budget
+    (split evenly per device).
     """
     num_samples = num_samples or num_points_per_side
     origins_np, dir_np, far = orthographic_ray_grid(aabb, num_points_per_side,
@@ -213,9 +260,14 @@ def sample_volume(params, model_cfg: ModelConfig, aabb: np.ndarray,
     K = min(max_points_per_batch, total)
     n_rays = origins_np.shape[0]
     n_chunks = (n_rays + B - 1) // B
+    ndev = 1 if mesh is None else mesh.size
+    # shard_map needs the chunk axis divisible by the mesh: pad with dummy
+    # chunks whose global id puts every ray past n_rays (n_valid <= 0 →
+    # zero survivors, zero flags)
+    n_chunks_pad = ((n_chunks + ndev - 1) // ndev) * ndev
     if max_total_points is None:
         max_total_points = min(n_chunks * K, 16_777_216)
-    G = max(max_total_points, K)
+    G = max(max_total_points // ndev, K)      # per-device budget
     W = 6 + (3 if render_rgb else 0)    # x y z sig sem_ok cmap_ok (rgb)
     static = dict(model_cfg=model_cfg, B=B, num_samples=num_samples, K=K,
                   G=G, n_rays=n_rays, render_rgb=render_rgb)
@@ -224,21 +276,36 @@ def sample_volume(params, model_cfg: ModelConfig, aabb: np.ndarray,
         jnp.float32)
     geom = (aabb_j, jnp.asarray(dir_np), jnp.float32(far))
 
-    # pad the ray grid to n_chunks * B rows (masked out on device via n_valid)
-    if n_rays < n_chunks * B:
+    # pad the ray grid to n_chunks_pad * B rows (masked on device: tail rays
+    # of the last real chunk via n_valid, dummy chunks via n_valid <= 0)
+    if n_rays < n_chunks_pad * B:
         origins_all = np.concatenate(
             [origins_np,
-             np.repeat(origins_np[-1:], n_chunks * B - n_rays, axis=0)], 0)
+             np.repeat(origins_np[-1:], n_chunks_pad * B - n_rays, axis=0)],
+            0)
     else:
         origins_all = origins_np
+    origins_st = jnp.asarray(origins_all).reshape(n_chunks_pad, B, 3)
+    chunk_ids = jnp.arange(n_chunks_pad, dtype=jnp.int32)
 
     key = jax.random.PRNGKey(seed)
-    ptr, buf, flags = _run_all(params, jnp.asarray(origins_all), key, geom,
-                               thresholds, **static)
-    n_total = int(jax.device_get(ptr))
-    rows = (np.asarray(jax.device_get(buf[:n_total])) if n_total
-            else np.zeros((0, W), np.float32))
-    flags = np.asarray(jax.device_get(flags))
+    if mesh is None:
+        ptr, buf, flags = _run_all(params, origins_st, chunk_ids, key, geom,
+                                   thresholds, **static)
+        ptrs, bufs = ptr[None], buf[None]
+    else:
+        ptrs, bufs, flags = _run_all_sharded(
+            params, origins_st, chunk_ids, key, geom, thresholds, mesh=mesh,
+            **static)
+    ptrs = np.asarray(jax.device_get(ptrs))
+    n_total = int(ptrs.sum())
+    if n_total:
+        bufs_np = np.asarray(jax.device_get(bufs))
+        rows = np.concatenate(
+            [bufs_np[d, :ptrs[d]] for d in range(bufs_np.shape[0])], 0)
+    else:
+        rows = np.zeros((0, W), np.float32)
+    flags = np.asarray(jax.device_get(flags))[:n_chunks]
 
     clouds = {k: {"points": [], "colors": [], "alpha": []}
               for k in ("semantic", "semantic_colormap", "density")}

@@ -260,7 +260,8 @@ def make_eval_batch_fn(cfg: TrainConfig):
 
 
 def make_render_fn(cfg: TrainConfig, background: Optional[str] = None,
-                   density_hook=None):
+                   density_hook=None,
+                   mesh: Optional[jax.sharding.Mesh] = None):
     """Chunked full-image renderer ≙ get_outputs_for_camera_ray_bundle
     (fruit_nerf.py:377-404), but the chunk loop is a ``lax.map`` inside one
     jit — each chunk is a fixed-shape slab so there is exactly one compile.
@@ -269,9 +270,28 @@ def make_render_fn(cfg: TrainConfig, background: Optional[str] = None,
     with image-shaped arrays [H, W, C].  ``density_hook`` is an optional
     (positions, density, hook_arg) -> density post-filter; ``hook_arg`` is a
     traced scalar (e.g. a viewer slider value — no recompile per value).
+
+    ``mesh`` (1-D ``data`` axis): each chunk's rays shard over the mesh —
+    params replicated, per-sample field matmuls split across devices, XLA
+    gathers the chunk outputs (the render-side analogue of the train step's
+    sharding; BASELINE.md's north-star counts train AND render rays/s).
+    Requires ``eval_num_rays_per_chunk`` divisible by the mesh size.
     """
     m = cfg.model
     chunk = cfg.eval_num_rays_per_chunk
+    if mesh is not None:
+        assert chunk % mesh.size == 0, (
+            f"eval_num_rays_per_chunk={chunk} must divide over "
+            f"{mesh.size} devices")
+
+    def shard_chunk_rays(x):
+        # [n_chunks, chunk] index arrays: shard the within-chunk axis so
+        # every lax.map step spreads its rays across the mesh
+        if mesh is None:
+            return x
+        spec = jax.sharding.PartitionSpec(None, "data")
+        return jax.lax.with_sharding_constraint(
+            x, jax.sharding.NamedSharding(mesh, spec))
 
     @functools.partial(jax.jit, static_argnums=(3, 4))
     def render(params, cameras: Cameras, cam_index, height: int, width: int,
@@ -303,8 +323,9 @@ def make_render_fn(cfg: TrainConfig, background: Optional[str] = None,
                      "semantics_colormap")}
 
         shaped = jax.lax.map(render_chunk,
-                             (cam.reshape(-1, chunk), xs.reshape(-1, chunk),
-                              ys.reshape(-1, chunk)))
+                             (shard_chunk_rays(cam.reshape(-1, chunk)),
+                              shard_chunk_rays(xs.reshape(-1, chunk)),
+                              shard_chunk_rays(ys.reshape(-1, chunk))))
         out = {}
         for k, v in shaped.items():
             flat = v.reshape(-1, v.shape[-1])[:n]

@@ -122,7 +122,9 @@ class Trainer:
         self.min_rays_per_s = min_rays_per_s
         self._slow_retries = 0
         self.eval_batch_fn = make_eval_batch_fn(cfg)
-        self.render = make_render_fn(cfg)
+        # renders shard each chunk's rays over the mesh too (train AND
+        # render rays/s are the north star, BASELINE.md)
+        self.render = make_render_fn(cfg, mesh=self.mesh)
         self._loop_key = jax.random.PRNGKey(cfg.seed + 1)
 
         self.ckpt_dir = self.output_dir / "checkpoints"

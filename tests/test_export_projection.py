@@ -241,3 +241,56 @@ class TestProjection:
         assert wo_occ.min() >= 0 and wo_occ.max() <= 1
         # visibility can only remove mass
         assert (visible <= wo_occ + 1e-6).all()
+
+
+class TestMeshShardedPaths:
+    """Sharded export/render must reproduce single-device results on the
+    8-device virtual mesh (VERDICT r3 item 5 — BASELINE.md's north star
+    counts train AND render rays/s)."""
+
+    def _mesh(self):
+        return jax.sharding.Mesh(np.array(jax.devices()), ("data",))
+
+    def test_sharded_export_matches_single_device(self):
+        params = model_init(jax.random.PRNGKey(0), CFG.model, num_images=2)
+        aabb = np.array([[-0.5, -0.5, -0.5], [0.5, 0.5, 0.5]], np.float32)
+        kw = dict(num_points_per_side=16, rays_per_batch=32, num_samples=8,
+                  semantic_threshold=-100.0, density_threshold=0.0,
+                  colormap_threshold=0.0, seed=3)
+        ref = sample_volume(params, CFG.model, aabb, **kw)
+        shd = sample_volume(params, CFG.model, aabb, mesh=self._mesh(), **kw)
+        for name in ref:
+            r, s = ref[name], shd[name]
+            assert r.points.shape == s.points.shape
+            # rows are grouped by device in the sharded run → compare as
+            # sorted sets of (point, alpha) rows
+            ra = np.concatenate([r.points, r.alpha[:, None]], 1)
+            sa = np.concatenate([s.points, s.alpha[:, None]], 1)
+            ra = ra[np.lexsort(ra.T)]
+            sa = sa[np.lexsort(sa.T)]
+            np.testing.assert_allclose(sa, ra, rtol=1e-6, atol=1e-7)
+
+    def test_sharded_export_chunkcount_not_divisible(self):
+        """Chunk count not divisible by the mesh: dummy padding chunks must
+        contribute zero points."""
+        params = model_init(jax.random.PRNGKey(0), CFG.model, num_images=2)
+        aabb = np.array([[-0.5, -0.5, -0.5], [0.5, 0.5, 0.5]], np.float32)
+        # 10x10 grid at B=16 → 7 chunks (pad to 8 over the mesh)
+        kw = dict(num_points_per_side=10, rays_per_batch=16, num_samples=8,
+                  semantic_threshold=-100.0, density_threshold=0.0,
+                  colormap_threshold=0.0, seed=0)
+        ref = sample_volume(params, CFG.model, aabb, **kw)
+        shd = sample_volume(params, CFG.model, aabb, mesh=self._mesh(), **kw)
+        assert ref["density"].points.shape == shd["density"].points.shape
+
+    def test_sharded_render_matches_single_device(self):
+        from cropnerf_tpu.train.step import make_render_fn
+
+        params = model_init(jax.random.PRNGKey(0), CFG.model, num_images=2)
+        cams = ring_cameras(n=2, height=24, width=24, focal=30.0)
+        r1 = make_render_fn(CFG)(params, cams, jnp.int32(0), 24, 24)
+        r2 = make_render_fn(CFG, mesh=self._mesh())(
+            params, cams, jnp.int32(0), 24, 24)
+        for k in r1:
+            np.testing.assert_allclose(np.asarray(r2[k]), np.asarray(r1[k]),
+                                       rtol=1e-5, atol=1e-6)
