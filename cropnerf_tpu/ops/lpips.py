@@ -45,15 +45,66 @@ def load_weights(path: Path) -> Optional[dict]:
     return {k: jnp.asarray(v) for k, v in data.items()}
 
 
+# LPIPS tap widths for the five VGG16 stages (relu1_2..relu5_3) and the
+# number of convs per stage — the structure uncalibrated_weights mirrors
+_VGG_STAGES = ((64, 2), (128, 2), (256, 3), (512, 3), (512, 3))
+
+
+def uncalibrated_weights(width_mult: float = 0.25, seed: int = 0) -> dict:
+    """Deterministic random VGG16-structure weights (He-init convs, positive
+    per-channel lin heads) at ``width_mult`` of the real channel widths.
+
+    UNCALIBRATED: produces a valid perceptual-distance-shaped metric (same
+    taps, normalisation and calibration math as real LPIPS) whose absolute
+    values are meaningless — useful so the full eval path (trainer._lpips →
+    ops.lpips) runs end-to-end in zero-egress CI, and for relative
+    comparisons within one run.  Enabled via
+    ``CROPNERF_LPIPS_WEIGHTS=uncalibrated``; real weights come from
+    tools/convert_lpips_weights.py."""
+    rng = np.random.RandomState(seed)
+    out = {}
+    cin = 3
+    conv_idx = 0
+    for width, n_convs in _VGG_STAGES:
+        cout = max(8, int(width * width_mult))
+        for i in range(n_convs):
+            std = float(np.sqrt(2.0 / (3 * 3 * cin)))
+            out[f"conv{conv_idx}_w"] = jnp.asarray(
+                rng.randn(3, 3, cin, cout).astype(np.float32) * std)
+            out[f"conv{conv_idx}_b"] = jnp.zeros((cout,), jnp.float32)
+            if i == n_convs - 1:          # stage tap
+                out[f"lin{conv_idx}"] = jnp.asarray(
+                    np.abs(rng.randn(cout)).astype(np.float32) / cout)
+            cin = cout
+            conv_idx += 1
+    return out
+
+
 def default_weights() -> Optional[dict]:
-    """Weights from ``CROPNERF_LPIPS_WEIGHTS`` (cached), or None."""
+    """Weights from ``CROPNERF_LPIPS_WEIGHTS`` (cached), or None.
+
+    The sentinel value ``uncalibrated`` synthesizes deterministic random
+    weights (:func:`uncalibrated_weights`) — full pipeline, meaningless
+    absolute scale; a one-time warning says so."""
     global _DEFAULT_WEIGHTS, _DEFAULT_LOADED
     if not _DEFAULT_LOADED:
         _DEFAULT_LOADED = True
         p = os.environ.get("CROPNERF_LPIPS_WEIGHTS")
-        if p:
+        if p and p.strip().lower() == "uncalibrated":
+            print("lpips: using UNCALIBRATED deterministic random VGG "
+                  "weights (CROPNERF_LPIPS_WEIGHTS=uncalibrated) — values "
+                  "are only comparable within this configuration, not to "
+                  "published LPIPS numbers", flush=True)
+            _DEFAULT_WEIGHTS = uncalibrated_weights()
+        elif p:
             _DEFAULT_WEIGHTS = load_weights(Path(p))
     return _DEFAULT_WEIGHTS
+
+
+def reset_weights_cache() -> None:
+    """Drop the cached default weights (tests toggle the env var)."""
+    global _DEFAULT_WEIGHTS, _DEFAULT_LOADED
+    _DEFAULT_WEIGHTS, _DEFAULT_LOADED = None, False
 
 
 def lpips_available() -> bool:

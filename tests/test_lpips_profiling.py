@@ -119,6 +119,44 @@ class TestLpipsGolden:
         a = jnp.zeros((8, 8, 3))
         assert lp.lpips(a, a) is None
 
+    def test_uncalibrated_sentinel(self, monkeypatch):
+        """CROPNERF_LPIPS_WEIGHTS=uncalibrated: deterministic random VGG —
+        the metric runs, is deterministic across processes, zero on
+        identical images, positive on different ones."""
+        from cropnerf_tpu.ops import lpips as lp
+        monkeypatch.setenv("CROPNERF_LPIPS_WEIGHTS", "uncalibrated")
+        lp.reset_weights_cache()
+        try:
+            assert lp.lpips_available()
+            rng = np.random.RandomState(2)
+            a = jnp.asarray(rng.rand(32, 32, 3), jnp.float32)
+            b = jnp.asarray(rng.rand(32, 32, 3), jnp.float32)
+            assert float(lp.lpips(a, a)) == pytest.approx(0.0, abs=1e-6)
+            d1 = float(lp.lpips(a, b))
+            assert d1 > 0
+            # deterministic: regenerating the weights reproduces the value
+            d2 = float(lp.lpips(a, b, lp.uncalibrated_weights()))
+            assert d1 == pytest.approx(d2, rel=1e-6)
+        finally:
+            lp.reset_weights_cache()
+
+    def test_uncalibrated_flows_through_trainer_helper(self, monkeypatch):
+        """The trainer's _lpips helper path (fruit_nerf.py:699 analogue)
+        reports a number instead of UNAVAILABLE under the sentinel."""
+        from cropnerf_tpu.ops import lpips as lp
+        monkeypatch.setenv("CROPNERF_LPIPS_WEIGHTS", "uncalibrated")
+        lp.reset_weights_cache()
+        try:
+            from cropnerf_tpu.train.trainer import Trainer
+            rng = np.random.RandomState(0)
+            pred = jnp.asarray(rng.rand(24, 24, 3), jnp.float32)
+            gt = jnp.asarray(rng.rand(24, 24, 3), jnp.float32)
+            val = Trainer._lpips(
+                type("T", (), {"_lpips_warned": False})(), pred, gt)
+            assert val is not None and np.isfinite(val)
+        finally:
+            lp.reset_weights_cache()
+
 
 class TestStepTimer:
     def test_counters(self):
