@@ -517,6 +517,14 @@ def _add_viewer(sub):
     p.add_argument("--uncertainty", type=Path, default=None,
                    help="unc.npy hessian grid to expose as an "
                         "'uncertainty' channel")
+    p.add_argument("--instances-ply", type=Path, default=None,
+                   help="instance-coloured result cloud "
+                        "(full_tree_seg_result.ply from `count`) shown in "
+                        "the 'instances' overlay channel")
+    p.add_argument("--pcd-dir", type=Path, default=None,
+                   help="segmenter output dir: draws the supercluster/"
+                        "subcluster AABBs as wireframes in the 'instances' "
+                        "channel (≙ the reference's cluster debug viewers)")
     p.add_argument("--uncertainty-lod", type=int, default=8)
 
 
@@ -527,9 +535,24 @@ def _cmd_viewer(args):
     trainer = load_trainer_from_run(args.run_dir)
     hessian = (np.load(args.uncertainty)
                if args.uncertainty is not None else None)
+    instances = None
+    if args.instances_ply is not None:
+        from .export.ply import read_ply
+        pts, cols = read_ply(args.instances_ply)
+        cols = (np.ones((len(pts), 3), np.float32) if cols is None
+                else np.asarray(cols, np.float32) / 255.0)
+        instances = (pts, cols)
+    aabbs = None
+    if args.pcd_dir is not None:
+        infos = sorted(Path(args.pcd_dir).glob(
+            "all_super_cluster_info_nsub_*.npy"))
+        if infos:
+            info = np.load(infos[-1], allow_pickle=True)
+            aabbs = np.concatenate([np.asarray(row["aabb"]) for row in info])
     render_image = make_model_renderer(trainer.state.params, trainer.cfg,
                                        size=args.size, hessian=hessian,
-                                       uncertainty_lod=args.uncertainty_lod)
+                                       uncertainty_lod=args.uncertainty_lod,
+                                       instances=instances, aabbs=aabbs)
     ViewerServer(render_image, port=args.port).serve_forever()
 
 

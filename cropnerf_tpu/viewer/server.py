@@ -26,7 +26,8 @@ select,button{margin:0.5em}
 </style></head><body>
 <div>
   <select id="channel"><option>rgb</option><option>semantics_colormap</option>
-  <option>depth</option><option>accumulation</option></select>
+  <option>depth</option><option>accumulation</option>
+  <option>instances</option></select>
   radius <input type="range" id="r" min="0.4" max="3" step="0.1" value="1.2">
   filter <input type="range" id="f" min="0" max="1" step="0.02" value="1">
   <span id="status"></span>
@@ -136,10 +137,63 @@ class ViewerServer:
         self._httpd.shutdown()
 
 
+def _overlay_instances(img: np.ndarray, cams, instances, aabbs) -> np.ndarray:
+    """Splat instance-coloured cluster points (and AABB wireframes) over a
+    rendered view — the headless analogue of the reference's debug cluster
+    viewers (segmentation/segmenter.py:187-204 viser point clouds,
+    evaluation/vis_semantic_seg.py:39-178 instance colours).
+
+    ``instances``: (points [N,3], colors [N,3] in [0,1]) in the model
+    frame; ``aabbs``: [M, 2, 3] boxes drawn as white wireframes.  Painter's
+    order by depth (far → near); no occlusion against the NeRF surface —
+    this is a debug overlay, same as the reference viewers."""
+    from ..counting.depth_projection import (project_points,
+                                             projection_matrix)
+    h, w = img.shape[:2]
+    out = img * 0.45                      # dim the base render
+    P = projection_matrix(float(cams.fx[0]), float(cams.fy[0]),
+                          float(cams.cx[0]), float(cams.cy[0]),
+                          np.asarray(cams.c2w[0]))
+    pts_list, col_list = [], []
+    if instances is not None:
+        p, c = instances
+        pts_list.append(np.asarray(p, np.float64))
+        col_list.append(np.asarray(c, np.float32))
+    if aabbs is not None:
+        t = np.linspace(0.0, 1.0, 48)
+        for box in np.asarray(aabbs, np.float64):
+            corners = np.array([[box[i][0], box[j][1], box[k][2]]
+                                for i in (0, 1) for j in (0, 1)
+                                for k in (0, 1)])
+            edges = [(0, 1), (0, 2), (0, 4), (1, 3), (1, 5), (2, 3),
+                     (2, 6), (3, 7), (4, 5), (4, 6), (5, 7), (6, 7)]
+            seg = np.concatenate([
+                corners[a][None] * (1 - t[:, None]) + corners[b][None]
+                * t[:, None] for a, b in edges])
+            pts_list.append(seg)
+            col_list.append(np.ones((len(seg), 3), np.float32))
+    if not pts_list:
+        return img
+    pts = np.concatenate(pts_list)
+    cols = np.concatenate(col_list)
+    # project_points returns (horizontal u, vertical v, depth) — the
+    # reference's (ys, xs) naming is swapped; see zbuffer()'s width clip
+    u, v, z = project_points(P, pts)
+    ok = (z > 1e-6) & (u >= 0) & (u < w - 1) & (v >= 0) & (v < h - 1)
+    u, v, z, cols = u[ok], v[ok], z[ok], cols[ok]
+    order = np.argsort(-z)                # far first → near wins
+    u, v, cols = u[order], v[order], cols[order]
+    for dy in (0, 1):                     # 2x2 splats read at low res
+        for dx in (0, 1):
+            out[v + dy, u + dx] = cols
+    return out
+
+
 def make_model_renderer(params, cfg, size: int = 256, focal: float = 300.0,
                         center=(0.0, 0.0, 0.0), hessian=None,
                         uncertainty_lod: int = 8,
-                        uncertainty_n_samples: int = 1000):
+                        uncertainty_n_samples: int = 1000,
+                        instances=None, aabbs=None):
     """Bind a trained model to the viewer's render callback.
 
     With a BayesRays ``hessian`` grid, the extra channel "uncertainty"
@@ -148,7 +202,13 @@ def make_model_renderer(params, cfg, size: int = 256, focal: float = 300.0,
     value — uncertainty-filtered rendering of every channel (≙ the
     reference's uncertainty viewer + filter slider,
     bayesrays/run_viewer_u.py:49-120, output_uncertainty.py:44-63).  The
-    threshold is a traced scalar: moving the slider does not recompile."""
+    threshold is a traced scalar: moving the slider does not recompile.
+
+    ``instances`` (points, colors) / ``aabbs`` [M,2,3] expose an
+    "instances" channel: the rgb render dimmed with the counted instance
+    cloud and cluster boxes splatted on top (≙ the reference's cluster
+    debug viewers, segmenter.py:187-204).  Without artifacts the channel
+    falls back to plain rgb."""
     import jax
     import jax.numpy as jnp
     from ..evaluation.render_video import orbit_cameras
@@ -200,6 +260,11 @@ def make_model_renderer(params, cfg, size: int = 256, focal: float = 300.0,
         if channel == "uncertainty" and unc_fn is not None:
             u = np.asarray(unc_fn(params, cams))
             img = u[..., None]
+        elif channel == "instances":
+            out = render(params, cams, jnp.int32(0), size, size,
+                         jnp.float32(unc_filter))
+            img = _overlay_instances(np.asarray(out["rgb"]), cams,
+                                     instances, aabbs)
         else:
             out = render(params, cams, jnp.int32(0), size, size,
                          jnp.float32(unc_filter))

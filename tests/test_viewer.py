@@ -70,3 +70,38 @@ class TestViewerUncertainty:
                                 channel="accumulation", unc_filter=-1.0)
         assert float(np.abs(acc_shut).max()) == 0.0
         assert float(acc_open.max()) > 0.0
+
+
+class TestViewerInstances:
+    def test_instances_channel_overlays_points(self):
+        """The 'instances' channel splats instance-coloured points at their
+        projected pixel locations over a dimmed rgb render (≙ the
+        reference's cluster debug viewers, segmenter.py:187-204)."""
+        cfg = PRESETS["cropnerf-tiny"]
+        params = model_init(jax.random.PRNGKey(0), cfg.model, num_images=2)
+        # a red instance blob at the scene center: the camera looks at the
+        # origin, so its splat must land near the image center
+        pts = np.zeros((50, 3), np.float32) + np.random.RandomState(
+            0).randn(50, 3).astype(np.float32) * 0.01
+        cols = np.tile(np.array([[1.0, 0.0, 0.0]], np.float32), (50, 1))
+        aabbs = np.array([[[-0.2, -0.2, -0.2], [0.2, 0.2, 0.2]]])
+        render_image = make_model_renderer(params, cfg, size=48, focal=60.0,
+                                           instances=(pts, cols),
+                                           aabbs=aabbs)
+        img = render_image(theta=0.3, phi=0.2, radius=1.2,
+                           channel="instances")
+        assert img.shape == (48, 48, 3)
+        c = img[16:32, 16:32]              # center crop
+        red = (c[..., 0] > 0.9) & (c[..., 1] < 0.1) & (c[..., 2] < 0.1)
+        assert red.any(), "instance splat not visible at image center"
+        # white AABB wireframe pixels exist somewhere
+        white = (img > 0.99).all(axis=-1)
+        assert white.any(), "AABB wireframe not drawn"
+
+    def test_instances_channel_without_artifacts_is_rgb(self):
+        cfg = PRESETS["cropnerf-tiny"]
+        params = model_init(jax.random.PRNGKey(0), cfg.model, num_images=2)
+        render_image = make_model_renderer(params, cfg, size=16, focal=20.0)
+        a = render_image(theta=0.0, phi=0.2, radius=1.2, channel="instances")
+        b = render_image(theta=0.0, phi=0.2, radius=1.2, channel="rgb")
+        np.testing.assert_allclose(a, b)
