@@ -1,0 +1,265 @@
+"""Production-threshold multi-instance dress rehearsal (VERDICT r3 item 1).
+
+The closest available proxy for the reference's real-plant run
+(/root/reference/README.md:112-137): a mid-scale synthetic orchard — 11
+"crop" spheres (an 8-ring, one adjacent PAIR that DBSCAN must merge into a
+single supercluster and the counting stage must split again, and one
+center crop behind occluders) plus grey occluder spheres that render into
+the images but never into the masks — 60 cameras in three elevation rings
+at 320x416.  The flagship preset trains until densities/logits reach
+production scale, then the FULL pipeline runs with the reference defaults
+UNTOUCHED:
+
+  * export:   density >= 70, semantic logit >= 3, sigmoid >= 0.9
+              (exporter_utils.py:110-114; export/volume.py defaults)
+  * segment:  eps = 20*vx, min 30 points, k = 2 subclusters
+              (segmentation/segmenter.py:69-86,183-185)
+  * project:  occlusion threshold 0.5 (fruit_nerf.py:313)
+  * count:    binary_threshold 100, frame interval 10, clique
+              (segmentation/merger.py:370-376)
+
+Expected count: exactly 11.  Writes a JSON artifact with the count,
+per-stage artifact sizes, the density/logit scale probe and timings:
+
+    python benchmarks/dress_rehearsal.py [--steps 3000] [--quick]
+    (CROPNERF_PLATFORM=cpu for a CPU run; --quick shrinks everything for a
+    CI smoke — quick mode is NOT the rehearsal)
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+EXPECTED_COUNT = 11
+# world-frame scene layout (see module docstring): ring surface gaps 0.33
+# (> DBSCAN eps 0.2 at vx 0.01 → separate superclusters); pair gap 0.02
+# (< eps → one supercluster, counting must split it); center crop flanked
+# by occluders 0.1 away (visibility thinned, never zero)
+RING_R, CROP_R, OCC_R = 0.85, 0.16, 0.25
+
+
+def scene_centers():
+    ring = [(RING_R * np.cos(t), RING_R * np.sin(t), 0.0)
+            for t in np.linspace(0, 2 * np.pi, 8, endpoint=False)]
+    pair = [(0.0, -0.17, 0.55), (0.0, 0.17, 0.55)]
+    center = [(0.0, 0.0, 0.2)]
+    occluders = [(0.5, 0.0, 0.1), (-0.5, 0.0, 0.1), (0.0, 0.0, -0.35)]
+    return ring + pair + center, occluders
+
+
+def build_scene(n_cams: int, h: int, w: int, focal: float):
+    from synthetic import render_multi_sphere_images, ring_cameras
+    crops, occluders = scene_centers()
+    elevations = tuple(np.tile([0.45, 1.0, 1.55], n_cams // 3 + 1)[:n_cams])
+    cams = ring_cameras(n=n_cams, radius=2.2, height=h, width=w,
+                        focal=focal, elevations=elevations)
+    images, masks, labels = render_multi_sphere_images(
+        cams, h, w, crops, radius=CROP_R, occluders=occluders,
+        occluder_radius=OCC_R)
+    return cams, images, masks, labels
+
+
+def threshold_probe(params, model_cfg, n_probe=512, seed=0):
+    """Fraction of crop-interior samples clearing the PRODUCTION export
+    thresholds (density >= 70, logit >= 3) — the scale question the tiny
+    fixtures could never answer."""
+    import jax.numpy as jnp
+
+    from cropnerf_tpu.models.field import field_all
+
+    crops, occluders = scene_centers()
+    rng = np.random.RandomState(seed)
+    pts, opts = [], []
+    for ctr in crops:
+        d = rng.randn(n_probe // len(crops), 3)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        r = CROP_R * rng.rand(len(d), 1) ** (1 / 3) * 0.8
+        pts.append(np.asarray(ctr) + d * r)
+    for ctr in occluders:
+        d = rng.randn(n_probe // len(occluders), 3)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        opts.append(np.asarray(ctr) + d * OCC_R * 0.8 * rng.rand(len(d), 1))
+    x = jnp.asarray(np.concatenate(pts + opts), jnp.float32)[None]
+    dirs = jnp.zeros((1, 3)).at[:, 2].set(1.0)
+    cam_idx = jnp.zeros((1,), jnp.int32)
+    density, _, sem = field_all(params["field"], x, dirs, cam_idx,
+                                model_cfg.field, train=False)
+    density = np.asarray(density[0])
+    logit = np.asarray(sem[0, :, 0])
+    nc = sum(len(p) for p in pts)
+    return {
+        "crop_density_ge_70": float((density[:nc] >= 70).mean()),
+        "crop_logit_ge_3": float((logit[:nc] >= 3).mean()),
+        "crop_density_median": float(np.median(density[:nc])),
+        "crop_logit_median": float(np.median(logit[:nc])),
+        "occluder_density_ge_70": float((density[nc:] >= 70).mean()),
+        "occluder_logit_ge_3": float((logit[nc:] >= 3).mean()),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--preset", default="cropnerf-mxu")
+    ap.add_argument("--out", type=Path,
+                    default=Path(REPO) / "benchmarks"
+                    / "dress_rehearsal_results.json")
+    ap.add_argument("--work-dir", type=Path, default=None,
+                    help="artifact dir (default: a fresh temp dir)")
+    ap.add_argument("--side", type=int, default=200,
+                    help="export grid resolution per AABB side (a runtime "
+                         "knob, NOT a threshold — the reference's 3000 is "
+                         "grid density only)")
+    ap.add_argument("--vx-size", type=float, default=0.01,
+                    help="segmenter voxel size (scene-scale knob like the "
+                         "reference's --vx_size; eps/min/k stay at the "
+                         "reference's eps=20*vx / 30 / 2)")
+    ap.add_argument("--num-inner", type=int, default=10)
+    ap.add_argument("--quick", action="store_true",
+                    help="CI smoke: tiny cameras/steps/grid (not a "
+                         "rehearsal; thresholds still untouched)")
+    args = ap.parse_args()
+
+    if os.environ.get("CROPNERF_PLATFORM"):
+        import jax
+        jax.config.update("jax_platforms", os.environ["CROPNERF_PLATFORM"])
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from cropnerf_tpu.counting.merger import MergerConfig, count_instances
+    from cropnerf_tpu.counting.segmenter import build_super_cluster_info
+    from cropnerf_tpu.data.databank import build_pixel_bank
+    from cropnerf_tpu.export.volume import sample_volume
+    from cropnerf_tpu.models.config import PRESETS
+    from cropnerf_tpu.ops import metrics as metric_ops
+    from cropnerf_tpu.projection.project import run_projections
+    from cropnerf_tpu.train.state import create_train_state
+    from cropnerf_tpu.train.step import make_train_step
+
+    t_all = time.perf_counter()
+    if args.quick:
+        n_cams, h, w, focal = 24, 120, 156, 130.0
+        args.steps = min(args.steps, 600)
+        args.side = min(args.side, 64)
+    else:
+        n_cams, h, w, focal = 60, 320, 416, 340.0
+
+    print(f"building scene: {n_cams} cams at {w}x{h}", flush=True)
+    cams, images, masks, labels = build_scene(n_cams, h, w, focal)
+    bank = build_pixel_bank(images, masks, cams)
+
+    cfg = PRESETS[args.preset]
+    state = create_train_state(jax.random.PRNGKey(0), cfg,
+                               num_images=bank.num_images)
+    k_inner = args.num_inner if args.steps % args.num_inner == 0 else 1
+    step = make_train_step(cfg, num_inner=k_inner)
+    key = jax.random.PRNGKey(1)
+    t0 = time.perf_counter()
+    psnr_first = None
+    for i in range(args.steps // k_inner):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, bank, sub)
+        if i % max(1, 500 // k_inner) == 0 or i == args.steps // k_inner - 1:
+            p = float(metrics["psnr"])           # sync point
+            if psnr_first is None:
+                psnr_first = p
+            print(f"step {(i + 1) * k_inner}: loss="
+                  f"{float(metrics['loss']):.4f} psnr={p:.2f} "
+                  f"[{time.perf_counter() - t0:.0f}s]", flush=True)
+    train_s = time.perf_counter() - t0
+    psnr_final = float(metrics["psnr"])
+
+    probe = threshold_probe(state.params, cfg.model)
+    print("threshold probe:", json.dumps(probe), flush=True)
+
+    import tempfile
+    work = Path(args.work_dir or tempfile.mkdtemp(prefix="dress_"))
+    work.mkdir(parents=True, exist_ok=True)
+
+    # ---- export at PRODUCTION thresholds (defaults untouched) ----
+    aabb = np.array([[-1.15, -1.15, -0.75], [1.15, 1.15, 0.85]], np.float32)
+    t0 = time.perf_counter()
+    clouds = sample_volume(state.params, cfg.model, aabb,
+                           num_points_per_side=args.side,
+                           rays_per_batch=512)
+    export_s = time.perf_counter() - t0
+    sizes = {k: int(len(v.points)) for k, v in clouds.items()}
+    print("export cloud sizes:", sizes, f"[{export_s:.0f}s]", flush=True)
+    pts = clouds["semantic"].points
+    assert len(pts) > 0, "EMPTY semantic cloud at production thresholds"
+
+    # ---- segment at reference defaults (eps=20*vx, min 30, k=2) ----
+    t0 = time.perf_counter()
+    info_list = build_super_cluster_info(pts, k=2, vx_size=args.vx_size)
+    segment_s = time.perf_counter() - t0
+    info = np.array(info_list, dtype=object)
+    print(f"superclusters: {len(info)} [{segment_s:.0f}s]", flush=True)
+
+    # ---- project (occlusion threshold 0.5 default) ----
+    label_dir = work / "labels"
+    label_dir.mkdir(exist_ok=True)
+    label_paths = []
+    for i, lab in enumerate(labels):
+        p = label_dir / f"frame_{i:04d}.png"
+        Image.fromarray(lab).save(p)
+        label_paths.append(p)
+    proj_dir = work / "projection"
+    t0 = time.perf_counter()
+    run_projections(state.params, cfg.model, cams, h, w, info, proj_dir,
+                    label_paths=label_paths)
+    project_s = time.perf_counter() - t0
+    print(f"projections written [{project_s:.0f}s]", flush=True)
+
+    # ---- count at reference defaults (binary 100, interval 10, clique) ----
+    t0 = time.perf_counter()
+    result = count_instances(proj_dir, info, MergerConfig())
+    count_s = time.perf_counter() - t0
+
+    artifact = {
+        "expected_count": EXPECTED_COUNT,
+        "total_count": result.total_count,
+        "per_super_cluster": result.per_super_cluster,
+        "exact_match": result.total_count == EXPECTED_COUNT,
+        "thresholds": {"density": 70.0, "semantic_logit": 3.0,
+                       "colormap_sigmoid": 0.9, "binary_threshold": 100,
+                       "frame_sampling_interval": 10,
+                       "graph_partition": "clique",
+                       "occlusion_threshold": 0.5,
+                       "segment": {"eps": 20 * args.vx_size,
+                                   "min_points": 30, "k": 2,
+                                   "vx_size": args.vx_size}},
+        "scene": {"n_crops": EXPECTED_COUNT, "n_occluders": 3,
+                  "n_cams": n_cams, "resolution": [h, w]},
+        "preset": args.preset, "steps": args.steps, "quick": args.quick,
+        "psnr_first": psnr_first, "psnr_final": psnr_final,
+        "threshold_probe": probe,
+        "cloud_sizes": sizes,
+        "n_super_clusters": len(info),
+        "timings_s": {"train": round(train_s, 1),
+                      "export": round(export_s, 1),
+                      "segment": round(segment_s, 1),
+                      "project": round(project_s, 1),
+                      "count": round(count_s, 1),
+                      "total": round(time.perf_counter() - t_all, 1)},
+        "work_dir": str(work),
+        "platform": jax.default_backend(),
+    }
+    args.out.write_text(json.dumps(artifact, indent=2))
+    print(json.dumps(artifact), flush=True)
+
+
+if __name__ == "__main__":
+    main()

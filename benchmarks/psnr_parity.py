@@ -7,20 +7,32 @@ presets for the same number of optimizer steps on the same scene and
 compare rendered-view PSNR at checkpoints.  (Real-data parity on 3DCotton
 is still pending the dataset — ROADMAP.md — but identical protocol applies.)
 
-Protocol per preset: train on the 24-view synthetic sphere scene
-(.sphere_data.npz), render views {0, 12} at each checkpoint step, report
-mean PSNR vs the ground-truth images.  Same seed, same sampling, same
-losses.  NOTE this compares the presets AS SHIPPED: the mxu presets pair
-the PE field with their Adam(1e-3, eps 1e-8) stability regime while the
-hash presets keep the reference's Adam(1e-2, eps 1e-15) — the reference
-regime diverges on PE MLPs (models/config.py), so a field-only controlled
-A/B is not shippable; results are preset-vs-preset (field + optimizer
-regime), not the field swap in isolation.
+Protocol per preset: train on the scene, render held-out-style views at
+each checkpoint step, report mean PSNR vs the ground-truth images.  Same
+seed, same sampling, same losses.
+
+Arms (--presets):
+  * plain preset names compare the presets AS SHIPPED: the mxu presets
+    pair the PE field with their Adam(1e-3, eps 1e-8) stability regime
+    while the hash presets keep the reference's Adam(1e-2, eps 1e-15) —
+    the reference regime diverges on PE MLPs (models/config.py), so that
+    direction of a field-only A/B is not shippable.
+  * ``<preset>@mxu-opt`` (e.g. ``cropnerf@mxu-opt``) runs the preset under
+    the mxu optimizer regime — the CONVERSE control (VERDICT r3 weak
+    point 1): hash field + Adam 1e-3/eps 1e-8/decay-to-1e-5-over-50k.
+    ``cropnerf-mxu`` vs ``cropnerf@mxu-opt`` isolates the FIELD swap.
+
+Scenes (--scene):
+  * ``sphere``  — the 24-view single-sphere fixture (.sphere_data.npz).
+  * ``orchard`` — the dress-rehearsal scene (11 textured crops + grey
+    occluders, 40 cams at 312x240): many small objects, occlusion and
+    high-frequency texture — the regime where hash grids should shine
+    (VERDICT r3 weak point 2).
 
 Usage:
-    python benchmarks/psnr_parity.py [--steps 2000] \
-        [--presets cropnerf-mxu,cropnerf]
-Writes benchmarks/psnr_parity_results.json.
+    python benchmarks/psnr_parity.py [--steps 2000] [--scene orchard] \
+        [--presets cropnerf-mxu,cropnerf,cropnerf@mxu-opt]
+Writes benchmarks/psnr_parity_results.json (use --out for smoke runs).
 """
 from __future__ import annotations
 
@@ -35,12 +47,49 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-VIEWS = (0, 12)
+_SCENE_VIEWS = {"sphere": (0, 12), "orchard": (0, 13, 27)}
+VIEWS = _SCENE_VIEWS["sphere"]     # set per --scene in main()
 
 
-def _build():
-    from sphere_fixture import load_sphere_bank
-    return load_sphere_bank()
+def _build(scene: str = "sphere"):
+    if scene == "sphere":
+        from sphere_fixture import load_sphere_bank
+        return load_sphere_bank()
+    assert scene == "orchard"
+    import jax.numpy as jnp
+
+    from cropnerf_tpu.data.databank import build_pixel_bank
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from dress_rehearsal import CROP_R, OCC_R, scene_centers
+    from synthetic import render_multi_sphere_images, ring_cameras
+
+    n_cams, h, w = 40, 240, 312
+    crops, occluders = scene_centers()
+    elevations = tuple(np.tile([0.45, 1.0, 1.55], n_cams)[:n_cams])
+    cams = ring_cameras(n=n_cams, radius=2.2, height=h, width=w,
+                        focal=260.0, elevations=elevations)
+    images, masks, _ = render_multi_sphere_images(
+        cams, h, w, crops, radius=CROP_R, occluders=occluders,
+        occluder_radius=OCC_R, texture_freq=35.0)
+    return build_pixel_bank(images, masks, cams), images, cams, n_cams, h, w
+
+
+def _make_cfg(spec: str):
+    """'name' or 'name@mxu-opt' → (label, TrainConfig)."""
+    import dataclasses
+
+    from cropnerf_tpu.models.config import PRESETS
+    if "@" not in spec:
+        return spec, PRESETS[spec]
+    name, variant = spec.split("@", 1)
+    assert variant == "mxu-opt", f"unknown variant {variant!r}"
+    # the mxu flagship's optimizer block (models/config.py cropnerf-mxu)
+    cfg = dataclasses.replace(
+        PRESETS[name], optimizer="adam",
+        learning_rate=1e-3, lr_final=1e-5, lr_decay_max_steps=50_000,
+        prop_learning_rate=1e-3, prop_lr_final=1e-5,
+        prop_lr_decay_max_steps=50_000, adam_eps=1e-8)
+    return spec, cfg
 
 
 def _render_psnr(render, params, cams, images, h, w):
@@ -55,15 +104,15 @@ def _render_psnr(render, params, cams, images, h, w):
     return float(np.mean(vals))
 
 
-def run_preset(name: str, steps: int, checkpoints) -> dict:
+def run_preset(name: str, steps: int, checkpoints,
+               scene: str = "sphere") -> dict:
     import jax
 
-    from cropnerf_tpu.models.config import PRESETS
     from cropnerf_tpu.train.state import create_train_state
     from cropnerf_tpu.train.step import make_render_fn, make_train_step
 
-    cfg = PRESETS[name]
-    bank, images, cams, n, h, w = _build()
+    name, cfg = _make_cfg(name)
+    bank, images, cams, n, h, w = _build(scene)
     state = create_train_state(jax.random.PRNGKey(0), cfg, num_images=n)
     # hash steps are ~1.4 s — keep dispatches single-step there so syncs
     # stay frequent; the mxu step fuses 10
@@ -115,9 +164,12 @@ def run_preset(name: str, steps: int, checkpoints) -> dict:
 
 
 def main() -> None:
+    global VIEWS
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--presets", default="cropnerf-mxu,cropnerf")
+    ap.add_argument("--scene", default="sphere",
+                    choices=sorted(_SCENE_VIEWS))
     ap.add_argument("--out", default=os.path.join(
         REPO, "benchmarks", "psnr_parity_results.json"),
         help="results path (point smoke runs elsewhere to avoid "
@@ -127,17 +179,20 @@ def main() -> None:
     import jax
     if os.environ.get("CROPNERF_PLATFORM"):   # axon ignores JAX_PLATFORMS
         jax.config.update("jax_platforms", os.environ["CROPNERF_PLATFORM"])
+    VIEWS = _SCENE_VIEWS[args.scene]
 
     checkpoints = [250, 500, 1000, 2000, 4000, 8000]
     results = []
     for name in args.presets.split(","):
-        results.append(run_preset(name.strip(), args.steps, checkpoints))
+        results.append(run_preset(name.strip(), args.steps, checkpoints,
+                                  scene=args.scene))
         with open(args.out, "w") as f:   # write after each preset (long runs)
-            json.dump({"steps": args.steps, "views": list(VIEWS),
-                       "results": results}, f, indent=1)
+            json.dump({"steps": args.steps, "scene": args.scene,
+                       "views": list(VIEWS), "results": results}, f,
+                      indent=1)
     summary = {r["preset"]: r["checkpoints"][-1]["psnr"] for r in results}
     print(json.dumps({"metric": "psnr_parity", "steps": args.steps,
-                      "final_psnr": summary}))
+                      "scene": args.scene, "final_psnr": summary}))
 
 
 if __name__ == "__main__":

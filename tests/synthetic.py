@@ -40,8 +40,20 @@ def ring_cameras(n: int = 8, radius: float = 1.2, height: float = 64,
 
 
 def render_multi_sphere_images(cameras: Cameras, height: int, width: int,
-                               centers, radius: float = 0.18):
+                               centers, radius: float = 0.18,
+                               occluders=None, occluder_radius: float = 0.25,
+                               texture_freq: float = 0.0):
     """Ray-trace several matte spheres ('crops') on white background.
+
+    ``occluders`` [M, 3]: extra grey spheres that render into the IMAGE and
+    the z-buffer (hiding crops behind them, like foliage/trunk geometry on
+    real plants) but never into masks/labels — the NeRF must reconstruct
+    them while the semantic head learns to exclude them.
+
+    ``texture_freq`` > 0 modulates albedo with a high-frequency surface
+    pattern (sin products at that spatial frequency) — the
+    high-frequency-content regime where hash grids are expected to beat
+    PE MLPs; used by the harder psnr-parity scene.
 
     Returns (images [N,H,W,3] u8, masks [N,H,W] u8 binary,
     labels [N,H,W] u8 instance ids 1..K with z-ordering).
@@ -50,12 +62,17 @@ def render_multi_sphere_images(cameras: Cameras, height: int, width: int,
     fx = np.asarray(cameras.fx)
     n = c2w.shape[0]
     centers = np.asarray(centers, np.float64)
+    spheres = [(ctr, radius, k + 1) for k, ctr in enumerate(centers)]
+    if occluders is not None:
+        spheres += [(np.asarray(ctr, np.float64), occluder_radius, 0)
+                    for ctr in np.asarray(occluders, np.float64)]
     images = np.zeros((n, height, width, 3), np.uint8)
     masks = np.zeros((n, height, width), np.uint8)
     labels = np.zeros((n, height, width), np.uint8)
     ys, xs = np.meshgrid(np.arange(height), np.arange(width), indexing="ij")
     tints = [(1.0, 0.15, 0.1), (0.9, 0.5, 0.1), (0.8, 0.1, 0.6),
              (0.2, 0.8, 0.3)]
+    grey = (0.45, 0.48, 0.42)
     for i in range(n):
         x = (xs + 0.5 - width / 2) / fx[i]
         y = (ys + 0.5 - height / 2) / fx[i]
@@ -67,22 +84,30 @@ def render_multi_sphere_images(cameras: Cameras, height: int, width: int,
         zbuf = np.full((height, width), np.inf)
         light = np.array([0.5, 0.5, 1.0])
         light = light / np.linalg.norm(light)
-        for k, ctr in enumerate(centers):
+        for ctr, rad, inst in spheres:
             oc = o - ctr
             b = np.sum(dirs * oc, -1)
-            c = np.sum(oc * oc) - radius ** 2
+            c = np.sum(oc * oc) - rad ** 2
             disc = b * b - c
             hit = disc > 0
             t = -b - np.sqrt(np.maximum(disc, 0))
             hit &= (t > 0) & (t < zbuf)
             p = o + t[..., None] * dirs
-            normal = (p - ctr) / radius
+            normal = (p - ctr) / rad
             lam = np.clip(np.sum(normal * light, -1), 0.2, 1.0)
-            tint = np.asarray(tints[k % len(tints)])
-            img[hit] = lam[hit][:, None] * tint[None, :]
+            tint = np.asarray(grey if inst == 0
+                              else tints[(inst - 1) % len(tints)])
+            shade = lam[hit][:, None] * tint[None, :]
+            if texture_freq > 0:
+                ph = p[hit]
+                tex = (0.65 + 0.35 * np.sin(texture_freq * ph[:, 0])
+                       * np.sin(texture_freq * ph[:, 1])
+                       * np.sin(texture_freq * ph[:, 2]))
+                shade = shade * tex[:, None]
+            img[hit] = shade
             zbuf[hit] = t[hit]
-            masks[i][hit] = 1
-            labels[i][hit] = k + 1
+            masks[i][hit] = 1 if inst else 0
+            labels[i][hit] = inst
         images[i] = (img * 255).astype(np.uint8)
     return images, masks, labels
 
