@@ -28,6 +28,13 @@ Baseline anchor: the reference publishes no numbers (BASELINE.md); the
 denominator used here is 100_000 rays/s — a representative nerfstudio
 nerfacto-class training throughput for the reference's single-GPU docker
 setup (README.md:75) at the same base config (4096 rays × ~400 samples/ray).
+
+The bank here is random data (throughput of this architecture is
+input-independent — every step is the same fixed-shape program), so the
+number is tied to a CONVERGING run by benchmarks/full_schedule.py: the
+same program sustained 20.35 ms/step over 40 k steps while reaching PSNR
+42.9 on the sphere fixture (full_schedule_results.json) — the two
+measurements agree to within noise.
 """
 from __future__ import annotations
 
