@@ -323,3 +323,24 @@ class TestThroughputWatchdog:
         t = self._trainer(tmp_path)
         t.train(num_steps=20, log_every=10)
         assert t._slow_retries == 0
+
+    def test_eval_windows_exempt_from_floor(self, tmp_path):
+        """Windows whose wall time includes eval work must not trigger the
+        watchdog (advisor r3): with evals landing mid-window everywhere and
+        an absurd floor, no retry may fire."""
+        t = self._trainer(tmp_path, min_rays_per_s=1e15)
+        # evals at steps 5, 15, 25... land inside every logging window
+        t.cfg = dataclasses.replace(t.cfg, steps_per_eval_batch=5)
+        t.train(num_steps=40, log_every=10)
+        assert t._slow_retries == 0
+
+    def test_gives_up_loudly_after_retries(self, tmp_path, capsys):
+        """Once retries are exhausted and throughput stays under the floor,
+        the trainer warns once instead of degrading silently."""
+        t = self._trainer(tmp_path, min_rays_per_s=1e15)
+        t.train(num_steps=80, log_every=10)
+        from cropnerf_tpu.train.trainer import _MAX_SLOW_RETRIES
+        assert t._slow_retries == _MAX_SLOW_RETRIES
+        assert getattr(t, "_watchdog_gave_up", False)
+        out = capsys.readouterr().out
+        assert out.count("giving up") == 1
