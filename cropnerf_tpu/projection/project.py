@@ -90,7 +90,8 @@ class ClusterProjector:
     def __init__(self, params, model_cfg: ModelConfig, cameras: Cameras,
                  height: int, width: int,
                  occlusion_threshold: float = OCCLUSION_THRESHOLD,
-                 rays_per_dispatch: int = 262_144):
+                 rays_per_dispatch: int = 262_144,
+                 mesh: Optional[jax.sharding.Mesh] = None):
         self.params = params
         self.cfg = model_cfg
         self.cameras = cameras
@@ -98,6 +99,11 @@ class ClusterProjector:
         self.width = width
         self.occlusion_threshold = occlusion_threshold
         self.rays_per_dispatch = rays_per_dispatch
+        # 1-D data mesh: the flat [J*n] ray batch of every dispatch shards
+        # over it (params replicated) — bucket sizes are 128-multiples so
+        # any power-of-two mesh divides them (third leg of VERDICT r3
+        # item 5, after the render/export paths)
+        self.mesh = mesh
         self._fns = {}
 
     def _get_fn(self, n: int, j: int):
@@ -106,10 +112,20 @@ class ClusterProjector:
             return self._fns[(n, j)]
         cfg = self.cfg
         occ_thresh = self.occlusion_threshold
+        mesh = self.mesh
+
+        def shard_rays(x):
+            if mesh is None or x.shape[0] % mesh.size != 0:
+                return x
+            return jax.lax.with_sharding_constraint(
+                x, jax.sharding.NamedSharding(
+                    mesh, jax.sharding.PartitionSpec("data")))
 
         @jax.jit
         def run(params, cameras, cam_idx, px, py, aabbs):
             # cam_idx/px/py: [J*n] flat; aabbs: [J, 2, 3]
+            cam_idx, px, py = (shard_rays(cam_idx), shard_rays(px),
+                               shard_rays(py))
             origins, dirs = generate_rays(cameras, cam_idx, px, py)
             nears, fars, hit = jax.vmap(ray_aabb_intersect)(
                 origins.reshape(j, n, 3), dirs.reshape(j, n, 3), aabbs)
@@ -217,7 +233,8 @@ def run_projections(params, model_cfg: ModelConfig, cameras: Cameras,
                     output_dir: Path,
                     label_paths: Optional[list] = None,
                     camera_indices: Optional[list] = None,
-                    occlusion_threshold: float = OCCLUSION_THRESHOLD) -> Path:
+                    occlusion_threshold: float = OCCLUSION_THRESHOLD,
+                    mesh: Optional[jax.sharding.Mesh] = None) -> Path:
     """Write the full projection tree
     ``super_cluster_{s}/cam_{c}/{wo_occ,visible}_cluster_{i}.png``
     (+ copied GT label images) consumed by the merger."""
@@ -231,7 +248,7 @@ def run_projections(params, model_cfg: ModelConfig, cameras: Cameras,
             "(sorted order must match the training-split frame order; pass "
             "label_paths=None to skip GT label copying)")
     projector = ClusterProjector(params, model_cfg, cameras, height,
-                                 width, occlusion_threshold)
+                                 width, occlusion_threshold, mesh=mesh)
 
     # Collect every (supercluster, camera, subcluster) job up front so the
     # projector can batch across ALL of them (crops of the same bucket size

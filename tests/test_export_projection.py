@@ -294,3 +294,24 @@ class TestMeshShardedPaths:
         for k in r1:
             np.testing.assert_allclose(np.asarray(r2[k]), np.asarray(r1[k]),
                                        rtol=1e-5, atol=1e-6)
+
+    def test_sharded_projector_matches_single_device(self):
+        """ClusterProjector(mesh=): per-dispatch ray batches shard over the
+        data mesh; outputs must match single-device bit-for-bit."""
+        from cropnerf_tpu.projection.project import ClusterProjector
+
+        params = model_init(jax.random.PRNGKey(0), CFG.model, num_images=2)
+        cams = ring_cameras(n=3, height=40, width=40, focal=50.0)
+        aabb = np.array([[-0.3, -0.3, -0.3], [0.3, 0.3, 0.3]], np.float32)
+        jobs = [(c, aabb) for c in range(3)]
+        ref = ClusterProjector(params, CFG.model, cams, 40, 40)
+        shd = ClusterProjector(params, CFG.model, cams, 40, 40,
+                               mesh=self._mesh())
+        ref_out = {i: (w, v) for i, w, v in ref.iter_projections(jobs)}
+        shd_out = {i: (w, v) for i, w, v in shd.iter_projections(jobs)}
+        assert set(ref_out) == set(shd_out) == {0, 1, 2}
+        for i in ref_out:
+            np.testing.assert_allclose(shd_out[i][0], ref_out[i][0],
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(shd_out[i][1], ref_out[i][1],
+                                       rtol=1e-5, atol=1e-6)
