@@ -38,13 +38,25 @@ def generate_point_cloud(params, model_cfg: ModelConfig, bank: PixelBank,
                          remove_outliers: bool = True,
                          std_ratio: float = 10.0,
                          seed: int = 0,
-                         max_batches: int = 2000
+                         max_batches: int = 2000,
+                         mesh=None
                          ) -> Tuple[np.ndarray, np.ndarray]:
-    """Returns (points [N,3], colors [N,3] float) in the dataparser frame."""
+    """Returns (points [N,3], colors [N,3] float) in the dataparser frame.
+
+    ``mesh`` (1-D ``data`` axis): each batch's rays shard over the mesh —
+    same contract as the other mesh-sharded inference paths."""
+
+    def shard_rays(x):
+        if mesh is None or x.shape[0] % mesh.size != 0:
+            return x
+        return jax.lax.with_sharding_constraint(
+            x, jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec("data")))
 
     @jax.jit
     def run_batch(params, key):
-        idx = jax.random.randint(key, (rays_per_batch,), 0, bank.num_pixels)
+        idx = shard_rays(
+            jax.random.randint(key, (rays_per_batch,), 0, bank.num_pixels))
         cam, px, py = decode_pixel_index(idx, bank.height, bank.width)
         origins, dirs = generate_rays(bank.cameras, cam, px, py)
         rb = RayBundle(origins=origins, directions=dirs,

@@ -315,3 +315,22 @@ class TestMeshShardedPaths:
                                        rtol=1e-5, atol=1e-6)
             np.testing.assert_allclose(shd_out[i][1], ref_out[i][1],
                                        rtol=1e-5, atol=1e-6)
+
+    def test_sharded_depth_pointcloud_matches_single_device(self):
+        from cropnerf_tpu.data.databank import build_pixel_bank
+        from cropnerf_tpu.export.pointcloud import generate_point_cloud
+
+        params = model_init(jax.random.PRNGKey(0), CFG.model, num_images=2)
+        cams = ring_cameras(n=2, height=24, width=24, focal=30.0)
+        rng = np.random.RandomState(0)
+        images = rng.randint(0, 255, (2, 24, 24, 3), np.uint8)
+        masks = rng.randint(0, 2, (2, 24, 24)).astype(np.uint8)
+        bank = build_pixel_bank(images, masks, cams)
+        kw = dict(num_points=500, rays_per_batch=256, only_semantics=False,
+                  accumulation_threshold=0.0, remove_outliers=False,
+                  max_batches=2, seed=1)
+        p1, c1 = generate_point_cloud(params, CFG.model, bank, **kw)
+        p2, c2 = generate_point_cloud(params, CFG.model, bank,
+                                      mesh=self._mesh(), **kw)
+        np.testing.assert_allclose(p2, p1, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(c2, c1, rtol=1e-5, atol=1e-6)
