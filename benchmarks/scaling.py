@@ -91,13 +91,19 @@ def main() -> None:
                 render = make_render_fn(cfg, mesh=mesh)
                 size = 256
                 out = render(params, cams, jnp.int32(0), size, size)
-                jax.block_until_ready(out["rgb"])          # compile+warm
+                float(jax.device_get(out["rgb"]).sum())    # compile+warm
+                # sound sync (CLAUDE.md): short dispatch queue, chain all
+                # frames into ONE scalar and device_get it — a data
+                # dependency cannot return early, block_until_ready can
+                iters = min(args.iters, 8)
                 t0 = time.perf_counter()
-                for i in range(args.iters):
+                acc = jnp.zeros(())
+                for i in range(iters):
                     out = render(params, cams, jnp.int32(i % n_img),
                                  size, size)
-                jax.block_until_ready(out["rgb"])
-                rate = args.iters * size * size / (time.perf_counter() - t0)
+                    acc = acc + out["rgb"].mean()
+                assert np.isfinite(float(jax.device_get(acc)))
+                rate = iters * size * size / (time.perf_counter() - t0)
                 unit = "rays_per_s"
             else:                                          # export
                 kw = dict(num_points_per_side=64, rays_per_batch=512,

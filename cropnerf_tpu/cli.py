@@ -25,6 +25,22 @@ from pathlib import Path
 import numpy as np
 
 
+def _inference_mesh(args):
+    """--multichip on the inference CLIs (export / export-pointcloud /
+    project): 1-D ``data`` mesh over all local devices, or None."""
+    if not getattr(args, "multichip", False):
+        return None
+    import jax
+    if len(jax.devices()) <= 1:
+        return None
+    return jax.sharding.Mesh(np.array(jax.devices()), ("data",))
+
+
+def _add_multichip_flag(p):
+    p.add_argument("--multichip", action="store_true",
+                   help="shard rays over all local devices")
+
+
 def _add_train(sub):
     p = sub.add_parser("train", help="train a semantic NeRF")
     p.add_argument("--method", default="cropnerf",
@@ -139,6 +155,7 @@ def _add_export(sub):
                    help="density cutoff (default 70.0, reference)")
     p.add_argument("--colormap-threshold", type=float, default=None,
                    help="sigmoid cutoff for the colormap cloud (default 0.999)")
+    _add_multichip_flag(p)
 
 
 def _cmd_export(args):
@@ -161,6 +178,7 @@ def _cmd_export(args):
         num_points_per_side=args.num_points_per_side,
         rays_per_batch=args.rays_per_batch,
         render_rgb=args.render_rgb,
+        mesh=_inference_mesh(args),
         **{k: v for k, v in (
             ("semantic_threshold", args.semantic_threshold),
             ("density_threshold", args.density_threshold),
@@ -201,6 +219,7 @@ def _add_export_pointcloud(sub):
     p.add_argument("--unscale", action="store_true",
                    help="apply the reference's 2/scale artifact transform")
     p.add_argument("--seed", type=int, default=0)
+    _add_multichip_flag(p)
 
 
 def _cmd_export_pointcloud(args):
@@ -219,7 +238,7 @@ def _cmd_export_pointcloud(args):
         semantic_threshold=args.semantic_threshold,
         accumulation_threshold=args.accumulation_threshold,
         remove_outliers=not args.keep_outliers, std_ratio=args.std_ratio,
-        seed=args.seed)
+        seed=args.seed, mesh=_inference_mesh(args))
     from .export.ply import ply_vertex_count
     n = ply_vertex_count(Path(path))
     if n == 0:
@@ -255,6 +274,7 @@ def _add_project(sub):
     p.add_argument("--output-dir", type=Path, default=None)
     p.add_argument("--label-dir", type=Path, default=None,
                    help="GT instance-label images (label_*.png) to copy")
+    _add_multichip_flag(p)
 
 
 def _cmd_project(args):
@@ -276,7 +296,7 @@ def _cmd_project(args):
                              "per training camera)")
     run_projections(trainer.state.params, trainer.cfg.model,
                     trainer.bank.cameras, h, w, info, out_dir,
-                    label_paths=label_paths)
+                    label_paths=label_paths, mesh=_inference_mesh(args))
     print(out_dir)
 
 
@@ -544,11 +564,15 @@ def _cmd_viewer(args):
         instances = (pts, cols)
     aabbs = None
     if args.pcd_dir is not None:
-        infos = sorted(Path(args.pcd_dir).glob(
-            "all_super_cluster_info_nsub_*.npy"))
+        import re as _re
+        # numeric sort: 'nsub_10' must not beat 'nsub_2' lexicographically
+        infos = sorted(
+            Path(args.pcd_dir).glob("all_super_cluster_info_nsub_*.npy"),
+            key=lambda p: int(_re.search(r"nsub_(\d+)", p.name).group(1)))
         if infos:
             info = np.load(infos[-1], allow_pickle=True)
-            aabbs = np.concatenate([np.asarray(row["aabb"]) for row in info])
+            boxes = [np.asarray(row["aabb"]) for row in info]
+            aabbs = np.concatenate(boxes) if boxes else None
     render_image = make_model_renderer(trainer.state.params, trainer.cfg,
                                        size=args.size, hessian=hessian,
                                        uncertainty_lod=args.uncertainty_lod,

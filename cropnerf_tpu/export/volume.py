@@ -286,26 +286,45 @@ def sample_volume(params, model_cfg: ModelConfig, aabb: np.ndarray,
     else:
         origins_all = origins_np
     origins_st = jnp.asarray(origins_all).reshape(n_chunks_pad, B, 3)
-    chunk_ids = jnp.arange(n_chunks_pad, dtype=jnp.int32)
+    chunk_ids = np.arange(n_chunks_pad, dtype=np.int32)
+    # Strided chunk→device assignment: device d gets chunks d, d+ndev, ...
+    # A contiguous-block split would hand a spatially concentrated region
+    # (one band of the row-major ray grid) to one device, blowing through
+    # its G budget while the others idle and demoting those chunks to the
+    # per-chunk dense fallback.  shard_map splits the leading axis into
+    # contiguous blocks, so permute chunks into strided blocks first; the
+    # global ids ride along, keeping RNG/tail arithmetic placement-
+    # invariant.  flags come back in permuted order → unpermute below.
+    perm = np.concatenate([np.arange(d, n_chunks_pad, ndev)
+                           for d in range(ndev)])
+    origins_st = origins_st[jnp.asarray(perm)]
+    chunk_ids_p = jnp.asarray(chunk_ids[perm])
 
     key = jax.random.PRNGKey(seed)
     if mesh is None:
-        ptr, buf, flags = _run_all(params, origins_st, chunk_ids, key, geom,
-                                   thresholds, **static)
+        ptr, buf, flags = _run_all(params, origins_st, chunk_ids_p, key,
+                                   geom, thresholds, **static)
         ptrs, bufs = ptr[None], buf[None]
     else:
         ptrs, bufs, flags = _run_all_sharded(
-            params, origins_st, chunk_ids, key, geom, thresholds, mesh=mesh,
-            **static)
+            params, origins_st, chunk_ids_p, key, geom, thresholds,
+            mesh=mesh, **static)
     ptrs = np.asarray(jax.device_get(ptrs))
     n_total = int(ptrs.sum())
     if n_total:
-        bufs_np = np.asarray(jax.device_get(bufs))
+        # slice each device's survivor rows ON DEVICE — only ptr rows cross
+        # to the host, never the (G+K)-row buffers (the documented
+        # "transfers ONLY the final survivor rows" contract; large pulls
+        # through the tunnel are slow and have crashed the remote worker)
         rows = np.concatenate(
-            [bufs_np[d, :ptrs[d]] for d in range(bufs_np.shape[0])], 0)
+            [np.asarray(jax.device_get(bufs[d, :ptrs[d]]))
+             for d in range(len(ptrs)) if ptrs[d]], 0)
     else:
         rows = np.zeros((0, W), np.float32)
-    flags = np.asarray(jax.device_get(flags))[:n_chunks]
+    flags_p = np.asarray(jax.device_get(flags))
+    flags = np.zeros((n_chunks_pad,), flags_p.dtype)
+    flags[perm] = flags_p
+    flags = flags[:n_chunks]
 
     clouds = {k: {"points": [], "colors": [], "alpha": []}
               for k in ("semantic", "semantic_colormap", "density")}

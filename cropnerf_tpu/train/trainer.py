@@ -123,8 +123,12 @@ class Trainer:
         self._slow_retries = 0
         self.eval_batch_fn = make_eval_batch_fn(cfg)
         # renders shard each chunk's rays over the mesh too (train AND
-        # render rays/s are the north star, BASELINE.md)
-        self.render = make_render_fn(cfg, mesh=self.mesh)
+        # render rays/s are the north star, BASELINE.md) — single-host
+        # meshes only: on multi-host the render fn's plain jit cannot
+        # constrain onto a non-fully-addressable global mesh, so eval
+        # renders stay host-local there
+        render_mesh = self.mesh if jax.process_count() == 1 else None
+        self.render = make_render_fn(cfg, mesh=render_mesh)
         self._loop_key = jax.random.PRNGKey(cfg.seed + 1)
 
         self.ckpt_dir = self.output_dir / "checkpoints"
