@@ -125,6 +125,16 @@ def main() -> None:
                          "reference's --vx_size; eps/min/k stay at the "
                          "reference's eps=20*vx / 30 / 2)")
     ap.add_argument("--num-inner", type=int, default=10)
+    ap.add_argument("--project-every", type=int, default=1,
+                    help="project only every Nth camera and score them all "
+                         "(frame_sampling_interval=1 on the subset).  With "
+                         "N = the reference's frame_sampling_interval (10), "
+                         "this is MATHEMATICALLY IDENTICAL to projecting "
+                         "every camera and counting at interval 10 — the "
+                         "merger's cam_dirs[::10] scores exactly the same "
+                         "camera set and unscored cameras hold EPS either "
+                         "way.  CPU runs need it (full projection is "
+                         "~5 h of host compute); TPU runs project all.")
     ap.add_argument("--quick", action="store_true",
                     help="CI smoke: tiny cameras/steps/grid (not a "
                          "rehearsal; thresholds still untouched)")
@@ -218,14 +228,22 @@ def main() -> None:
         label_paths.append(p)
     proj_dir = work / "projection"
     t0 = time.perf_counter()
+    cam_indices = (None if args.project_every == 1
+                   else list(range(0, n_cams, args.project_every)))
     run_projections(state.params, cfg.model, cams, h, w, info, proj_dir,
-                    label_paths=label_paths)
+                    label_paths=label_paths, camera_indices=cam_indices)
     project_s = time.perf_counter() - t0
     print(f"projections written [{project_s:.0f}s]", flush=True)
 
     # ---- count at reference defaults (binary 100, interval 10, clique) ----
+    # --project-every N pre-applies the camera sampling (see its help):
+    # the merger then scores the whole (already-sampled) subset
+    mcfg = (MergerConfig() if args.project_every == 1
+            else MergerConfig(frame_sampling_interval=1))
+    effective_interval = (10 if args.project_every == 1
+                          else args.project_every)
     t0 = time.perf_counter()
-    result = count_instances(proj_dir, info, MergerConfig())
+    result = count_instances(proj_dir, info, mcfg)
     count_s = time.perf_counter() - t0
 
     artifact = {
@@ -235,7 +253,8 @@ def main() -> None:
         "exact_match": result.total_count == EXPECTED_COUNT,
         "thresholds": {"density": 70.0, "semantic_logit": 3.0,
                        "colormap_sigmoid": 0.9, "binary_threshold": 100,
-                       "frame_sampling_interval": 10,
+                       "frame_sampling_interval": effective_interval,
+                       "project_every": args.project_every,
                        "graph_partition": "clique",
                        "occlusion_threshold": 0.5,
                        "segment": {"eps": 20 * args.vx_size,
