@@ -334,3 +334,31 @@ class TestMeshShardedPaths:
                                       mesh=self._mesh(), **kw)
         np.testing.assert_allclose(p2, p1, rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(c2, c1, rtol=1e-5, atol=1e-6)
+
+
+class TestProjectorSamplesBudget:
+    def test_oversized_crop_segments_match_unsegmented(self):
+        """A tiny samples budget forces the segmented oversized-crop path;
+        outputs must match the one-dispatch render exactly (the budget is
+        a memory knob, never a semantics knob)."""
+        from cropnerf_tpu.projection.project import ClusterProjector
+
+        params = model_init(jax.random.PRNGKey(0), CFG.model, num_images=2)
+        cams = ring_cameras(n=2, height=48, width=48, focal=40.0)
+        aabb = np.array([[-0.6, -0.6, -0.6], [0.6, 0.6, 0.6]], np.float32)
+        jobs = [(0, aabb), (1, aabb)]
+        ref = ClusterProjector(params, CFG.model, cams, 48, 48)
+        assert ref.max_rays_per_job >= 48 * 48    # big enough: one dispatch
+        # budget of 256 rays x samples → every crop is oversized
+        spr = (CFG.model.num_nerf_samples_per_ray
+               + sum(CFG.model.num_proposal_samples_per_ray))
+        seg = ClusterProjector(params, CFG.model, cams, 48, 48,
+                               max_samples_per_dispatch=256 * spr)
+        assert seg.max_rays_per_job == 256
+        ref_out = {i: (w, v) for i, w, v in ref.iter_projections(jobs)}
+        seg_out = {i: (w, v) for i, w, v in seg.iter_projections(jobs)}
+        for i in ref_out:
+            np.testing.assert_allclose(seg_out[i][0], ref_out[i][0],
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(seg_out[i][1], ref_out[i][1],
+                                       rtol=1e-5, atol=1e-6)
