@@ -56,9 +56,23 @@ Pending:
     narrow ones on dense levels) — expected ~1.3-1.4x on the 2.29 s hash
     step; worth doing for the parity preset's dignity, not the headline.
   * mxu vs hash PSNR parity on real 3DCotton data (needs the dataset).
-  * round 4: re-run bench.py — now emits model_flops_per_step / TFLOP/s /
-    MFU vs the measured 80 TFLOP/s peak (utils/flops.py); expected ~28
-    TFLOP/s = ~35% MFU at the 20.5 ms flagship step.
+  * (closed 2026-08-21) bench.py with MFU on-chip: 200.0 k rays/s,
+    20.47 ms/step, 27.84 TFLOP/s = 34.8% of the measured 80 TFLOP/s peak.
+  * (closed 2026-08-21) dress rehearsal on-chip (benchmarks/
+    dress_rehearsal_results.json): probe 100%/100% at production
+    thresholds (medians 2128/28.4), 10/10 superclusters, count 13 at
+    reference-exact defaults / 11 exact with attach_unlabeled — occluder-
+    interior semantic leak root-caused, see benchmarks/README.md.
+  * round 5: psnr_parity CONTROL arm — `--presets cropnerf@mxu-opt
+    --scene sphere --steps 2000` (~46 min at 1.39 s/step; the committed
+    study's missing converse control).  Then the harder-scene study:
+    `--presets cropnerf-mxu,cropnerf,cropnerf@mxu-opt --scene orchard`
+    (~95 min).  Both were coded+smoked r4; the tunnel was down for most
+    of the round's second half (wedges of 1-3 h observed).
+  * round 5 (optional): dress fixture with 5 elevation rings x 90 cams —
+    partial r4 data (leak 4.1% vs 6% at 3 rings) suggests denser
+    elevation coverage shrinks occluder-interior extrapolation; the run
+    wedged mid-projection.  benchmarks/dress_rehearsal.py --steps 5000.
   * (closed 2026-08-20) bench_export speedup re-measured with both arms
     warm: 11.0x (was 17.2x with a dense-side recompile); compact path
     400 ms / 21.0 M queries/s.  benchmarks/README.md updated.
