@@ -50,6 +50,10 @@ EXPECTED_COUNT = 11
 # into one supercluster that k=2 subclusters cannot count (root-caused
 # from the r4 TPU run); keep every cross-instance surface gap > eps.
 RING_R, CROP_R, OCC_R = 0.85, 0.16, 0.25
+# export AABB: drawn around the CROP region only — non-crop solids
+# (occluders/trellis/trunk analogues) stay outside so their unobserved
+# interiors can never enter the semantic cloud (see scene_centers)
+EXPORT_AABB = [[-1.05, -1.05, -0.30], [1.05, 1.05, 1.05]]
 
 
 def scene_centers():
@@ -57,12 +61,21 @@ def scene_centers():
             for t in np.linspace(0, 2 * np.pi, 8, endpoint=False)]
     pair = [(0.0, -0.17, 0.80), (0.0, 0.17, 0.80)]
     center = [(0.0, 0.0, 0.25)]
-    # two flanking occluders only: a third, under-scene occluder had a
-    # never-observed interior where semantic logits extrapolated > 3 and
-    # a 1.1k-point phantom cluster counted as 2 extra instances; a low
-    # camera ring to supervise it made the whole scene too grazing to
-    # train (PSNR 27 -> 18, fog bridges every cluster).  Root-caused r4.
-    occluders = [(0.5, 0.0, 0.1), (-0.5, 0.0, 0.1)]
+    # Occluders sit ALONG THE SIGHTLINES (between the low camera ring and
+    # the center crop) but OUTSIDE the export AABB and eps-far from every
+    # crop.  Three failure modes were root-caused in r4 with occluders
+    # inside the crop region: (a) an under-scene occluder's never-observed
+    # interior grew a logit>3 phantom cluster (+2 instances); (b) flankers
+    # TOUCHING ring crops leaked interior logits that DBSCAN-merged into
+    # evidence-free subclusters (+2 at reference clique semantics;
+    # dress_rehearsal_results_occluders_in_aabb.json keeps that artifact);
+    # (c) one flanker was eps-close to TWO crops — a latent instance-
+    # bridging risk.  Excluding non-crop solids from the export AABB is
+    # the real-world lever (the reference user draws the AABB around the
+    # plant); the occluders still block crop pixels in many views.
+    a = 2 * np.pi * 22.5 / 360
+    occluders = [(1.5 * np.cos(a), 1.5 * np.sin(a), 0.39),
+                 (-1.5 * np.cos(a), -1.5 * np.sin(a), 0.39)]
     return ring + pair + center, occluders
 
 
@@ -227,7 +240,7 @@ def main() -> None:
     print("threshold probe:", json.dumps(probe), flush=True)
 
     # ---- export at PRODUCTION thresholds (defaults untouched) ----
-    aabb = np.array([[-1.15, -1.15, -0.75], [1.15, 1.15, 1.1]], np.float32)
+    aabb = np.asarray(EXPORT_AABB, np.float32)
     t0 = time.perf_counter()
     clouds = sample_volume(params, cfg.model, aabb,
                            num_points_per_side=args.side,

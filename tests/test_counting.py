@@ -562,3 +562,71 @@ class TestCountingRobustnessProperties:
                 MergerConfig(frame_sampling_interval=1,
                              attach_unlabeled=True))
             assert r.total_count == 3, (trial, hidden, r.total_count)
+
+
+class TestDressRehearsalSceneInvariants:
+    """Geometry invariants of the dress-rehearsal fixture (benchmarks/
+    dress_rehearsal.py) — guards against the two scene bugs root-caused in
+    round 4: cross-instance surface gaps inside DBSCAN eps (fuses crops
+    into superclusters k=2 cannot count) and eps-bridged occluder overlap
+    patterns.  Pure geometry, no training."""
+
+    def _scene(self):
+        import sys
+        sys.path.insert(0, "benchmarks")
+        from dress_rehearsal import (CROP_R, EXPECTED_COUNT, OCC_R,
+                                     scene_centers)
+        crops, occluders = scene_centers()
+        return np.asarray(crops), np.asarray(occluders), CROP_R, OCC_R, \
+            EXPECTED_COUNT
+
+    def test_expected_count_matches_crop_list(self):
+        crops, _, _, _, expected = self._scene()
+        assert len(crops) == expected
+
+    def test_pair_merges_and_everything_else_separates(self):
+        crops, _, r, _, _ = self._scene()
+        eps = 0.2              # 20 * vx_size default (0.01)
+        n = len(crops)
+        gaps = np.linalg.norm(crops[:, None] - crops[None], axis=-1) - 2 * r
+        merged = []
+        for i in range(n):
+            for j in range(i + 1, n):
+                assert gaps[i, j] > 0, (i, j, "crops intersect")
+                if gaps[i, j] < eps:
+                    merged.append((i, j))
+        # exactly ONE designed eps-merged pair (the 2-crop supercluster)
+        assert merged == [(8, 9)], merged
+        # and it must clear eps with margin elsewhere: every non-pair gap
+        # at least 25% above eps so segmentation is robust to fog growth
+        for i in range(n):
+            for j in range(i + 1, n):
+                if (i, j) != (8, 9):
+                    assert gaps[i, j] > eps * 1.25, (i, j, gaps[i, j])
+
+    def test_occluders_eps_far_from_every_crop(self):
+        """Occluder interiors can leak semantic logits (round-4 root
+        cause); they must sit eps-far from EVERY crop so a leak can
+        neither merge with a crop nor bridge two of them."""
+        crops, occluders, r, ro, _ = self._scene()
+        eps = 0.2
+        for k, o in enumerate(occluders):
+            d = np.linalg.norm(crops - o, axis=-1) - (r + ro)
+            assert (d > eps).all(), (k, d.round(3))
+
+    def test_occluders_outside_export_aabb_crops_inside(self):
+        """The export AABB is drawn around the crop region only: every
+        crop sphere fully inside, every occluder sphere fully outside —
+        unobserved occluder interiors can then never enter the semantic
+        cloud regardless of logit extrapolation."""
+        import sys
+        sys.path.insert(0, "benchmarks")
+        from dress_rehearsal import EXPORT_AABB
+        crops, occluders, r, ro, _ = self._scene()
+        lo, hi = np.asarray(EXPORT_AABB)
+        assert (crops - r >= lo).all() and (crops + r <= hi).all()
+        for o in occluders:
+            # sphere fully outside the box: closest box point farther
+            # than the radius
+            closest = np.clip(o, lo, hi)
+            assert np.linalg.norm(o - closest) > ro, (o, closest)
