@@ -300,7 +300,8 @@ def main() -> None:
                        "segment": {"eps": 20 * args.vx_size,
                                    "min_points": 30, "k": 2,
                                    "vx_size": args.vx_size}},
-        "scene": {"n_crops": EXPECTED_COUNT, "n_occluders": 3,
+        "scene": {"n_crops": EXPECTED_COUNT,
+                  "n_occluders": len(scene_centers()[1]),
                   "n_cams": n_cams, "resolution": [h, w]},
         "preset": args.preset, "steps": args.steps, "quick": args.quick,
         "psnr_first": psnr_first, "psnr_final": psnr_final,
