@@ -316,6 +316,12 @@ def main() -> None:
                       "total": round(time.perf_counter() - t_all, 1)},
         "work_dir": str(work),
         "platform": jax.default_backend(),
+        "provenance": "scene variant: occluders ALONG SIGHTLINES, outside "
+                      "the export AABB (commit 1432680 redesign; geometry "
+                      "unit-tested in tests/test_counting.py::"
+                      "TestDressRehearsalSceneInvariants). Supersedes the "
+                      "occluders-in-AABB variant kept at "
+                      "dress_rehearsal_results_occluders_in_aabb.json.",
     }
     args.out.write_text(json.dumps(artifact, indent=2))
     print(json.dumps(artifact), flush=True)

@@ -115,8 +115,9 @@ def run_preset(name: str, steps: int, checkpoints,
     bank, images, cams, n, h, w = _build(scene)
     state = create_train_state(jax.random.PRNGKey(0), cfg, num_images=n)
     # hash steps are ~1.4 s — keep dispatches single-step there so syncs
-    # stay frequent; the mxu step fuses 10
-    num_inner = 10 if "mxu" in name else 1
+    # stay frequent; the mxu step fuses 10.  Keyed on the FIELD type, not
+    # the spec string: `cropnerf@mxu-opt` is still the slow hash field.
+    num_inner = 10 if cfg.model.field.field_type != "hash" else 1
     step = make_train_step(cfg, num_inner=num_inner)
     render = make_render_fn(cfg)
     key = jax.random.PRNGKey(1)

@@ -74,8 +74,30 @@ def _project_aabb_to_crop(cameras: Cameras, cam_idx: int, aabb: np.ndarray,
     return x0, y0, x1, y1
 
 
+# Static geometric bucket ladder (~1.5x steps, all 128-multiples).  A full
+# projection run compiles O(log) distinct crop shapes instead of one per
+# 128-multiple of crop area — the remote-AOT compile tail dominated the
+# dress-rehearsal projection stage (1392 s of 2174 s) when every (n, J)
+# group compiled its own program (VERDICT r4 item 4).  Padding waste is
+# bounded at 50% of rays (masked, hit=0).
+_BUCKET_LADDER = (128, 256, 384, 512, 768, 1024, 1536, 2048, 3072, 4096,
+                  6144, 8192, 12288, 16384, 24576, 32768, 49152, 65536,
+                  98304, 131072)
+
+
 def _bucket(n: int, q: int = 128) -> int:
+    for b in _BUCKET_LADDER:
+        if n <= b:
+            return b
     return max(q, ((n + q - 1) // q) * q)
+
+
+def _pow2_floor(x: int) -> int:
+    return 1 << (max(x, 1).bit_length() - 1)
+
+
+def _pow2_ceil(x: int) -> int:
+    return 1 << max(x - 1, 0).bit_length()
 
 
 class ClusterProjector:
@@ -160,6 +182,52 @@ class ClusterProjector:
         self._fns[(n, j)] = run
         return run
 
+    def _j_cap(self, n: int) -> int:
+        return _pow2_floor(max(1, min(self.rays_per_dispatch // n,
+                                      self.max_rays_per_job // n)))
+
+    def precompile(self, jobs: Sequence[Tuple[int, np.ndarray]],
+                   max_workers: int = 4) -> int:
+        """AOT-compile every (n, J) program ``iter_projections(jobs)`` will
+        need, issuing the lowers concurrently — the remote AOT service
+        compiles independent programs in parallel, so a handful of threads
+        collapses the serial compile tail into roughly one compile's
+        latency.  Returns the number of distinct programs."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        H, W = self.height, self.width
+        counts = {}
+        any_oversized = False
+        for cam_idx, aabb in jobs:
+            crop = _project_aabb_to_crop(self.cameras, int(cam_idx),
+                                         np.asarray(aabb), H, W)
+            if crop is None:
+                continue
+            x0, y0, x1, y1 = crop
+            n_pix = (x1 - x0) * (y1 - y0)
+            if n_pix > self.max_rays_per_job:
+                any_oversized = True
+            else:
+                n = min(_bucket(n_pix), self.max_rays_per_job)
+                counts[n] = counts.get(n, 0) + 1
+        todo = [(n, min(self._j_cap(n), _pow2_ceil(c)))
+                for n, c in counts.items()]
+        if any_oversized and (self.max_rays_per_job, 1) not in todo:
+            todo.append((self.max_rays_per_job, 1))
+
+        def _compile(nj):
+            n, j = nj
+            run = self._get_fn(n, j)
+            run.lower(self.params, self.cameras,
+                      jax.ShapeDtypeStruct((j * n,), jnp.int32),
+                      jax.ShapeDtypeStruct((j * n,), jnp.int32),
+                      jax.ShapeDtypeStruct((j * n,), jnp.int32),
+                      jax.ShapeDtypeStruct((j, 2, 3), jnp.float32)).compile()
+
+        with ThreadPoolExecutor(max_workers=max_workers) as ex:
+            list(ex.map(_compile, todo))
+        return len(todo)
+
     def iter_projections(self, jobs: Sequence[Tuple[int, np.ndarray]]
                          ) -> Iterator[Tuple[int, np.ndarray, np.ndarray]]:
         """Render ``(cam_idx, aabb)`` jobs, batched by bucket size.
@@ -188,16 +256,18 @@ class ClusterProjector:
                 oversized.append(
                     (idx, int(cam_idx), np.asarray(aabb, np.float32), crop))
                 continue
-            n = _bucket(n_pix)
+            # the ladder can overshoot the per-job ray cap near the top;
+            # clamp to the (config-static, 128-multiple) cap so the samples
+            # budget holds and the top bucket shares the oversized program
+            n = min(_bucket(n_pix), self.max_rays_per_job)
             by_bucket.setdefault(n, []).append(
                 (idx, int(cam_idx), np.asarray(aabb, np.float32), crop))
 
         for n, group in sorted(by_bucket.items()):
-            # cap J at the group size so small workloads don't pad a huge
-            # batch; one (n, J) compile per bucket per run either way —
-            # J*n also bounded by the per-dispatch samples budget
-            J = max(1, min(self.rays_per_dispatch // n,
-                           self.max_rays_per_job // n, len(group)))
+            # J is a power of two capped by the (static) dispatch budgets,
+            # shrunk only for small groups — so (n, J) comes from a small
+            # static set and recurring runs reuse cached compiles
+            J = min(self._j_cap(n), _pow2_ceil(len(group)))
             run = self._get_fn(n, J)
             for at in range(0, len(group), J):
                 batch = group[at:at + J]
@@ -332,6 +402,9 @@ def run_projections(params, model_cfg: ModelConfig, cameras: Cameras,
                             else f"label_{lp.name}")
                     shutil.copy(lp, cam_dir / name)
 
+    n_programs = projector.precompile(jobs)
+    print(f"[project] {len(jobs)} jobs → {n_programs} compiled programs "
+          "(static bucket ladder, concurrent AOT warmup)", flush=True)
     for idx, wo_occ, visible in projector.iter_projections(jobs):
         cam_dir, i = dests[idx]
         _save_gray(cam_dir / f"wo_occ_cluster_{i}.png", wo_occ)
