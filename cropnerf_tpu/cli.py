@@ -32,6 +32,8 @@ def _inference_mesh(args):
         return None
     import jax
     if len(jax.devices()) <= 1:
+        print("[--multichip] NOTE: only one device is visible — running "
+              "single-device (no mesh)", flush=True)
         return None
     return jax.sharding.Mesh(np.array(jax.devices()), ("data",))
 
@@ -114,6 +116,9 @@ def _cmd_train(args):
     mesh = None
     if args.multichip and len(jax.devices()) > 1:
         mesh = jax.sharding.Mesh(np.array(jax.devices()), ("data",))
+    elif args.multichip:
+        print("[--multichip] NOTE: only one device is visible — training "
+              "single-device (no mesh)", flush=True)
     if args.shard_bank != "auto" and mesh is None:
         raise SystemExit("--shard-bank requires --multichip (and >1 device)")
     shard_bank = {"auto": None, "on": True, "off": False}[args.shard_bank]
@@ -545,6 +550,11 @@ def _add_viewer(sub):
                    help="segmenter output dir: draws the supercluster/"
                         "subcluster AABBs as wireframes in the 'instances' "
                         "channel (≙ the reference's cluster debug viewers)")
+    p.add_argument("--k", type=int, default=None,
+                   help="with --pcd-dir: which "
+                        "all_super_cluster_info_nsub_<k>.npy to overlay "
+                        "(default: the highest k present; the loaded file "
+                        "is printed either way)")
     p.add_argument("--uncertainty-lod", type=int, default=8)
 
 
@@ -569,7 +579,16 @@ def _cmd_viewer(args):
         infos = sorted(
             Path(args.pcd_dir).glob("all_super_cluster_info_nsub_*.npy"),
             key=lambda p: int(_re.search(r"nsub_(\d+)", p.name).group(1)))
+        if args.k is not None:      # match the count/project CLIs (advisor r4)
+            infos = [p for p in infos
+                     if p.name == f"all_super_cluster_info_nsub_{args.k}.npy"]
+            if not infos:
+                raise SystemExit(
+                    f"no all_super_cluster_info_nsub_{args.k}.npy in "
+                    f"{args.pcd_dir}")
         if infos:
+            print(f"[viewer] cluster overlay from {infos[-1].name}",
+                  flush=True)
             info = np.load(infos[-1], allow_pickle=True)
             boxes = [np.asarray(row["aabb"]) for row in info]
             aabbs = np.concatenate(boxes) if boxes else None

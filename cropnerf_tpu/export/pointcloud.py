@@ -47,7 +47,11 @@ def generate_point_cloud(params, model_cfg: ModelConfig, bank: PixelBank,
     same contract as the other mesh-sharded inference paths."""
 
     def shard_rays(x):
-        if mesh is None or x.shape[0] % mesh.size != 0:
+        if mesh is None:
+            return x
+        if x.shape[0] % mesh.size != 0:
+            from ..parallel.mesh import warn_unsharded
+            warn_unsharded("export-pointcloud", x.shape[0], mesh.size)
             return x
         return jax.lax.with_sharding_constraint(
             x, jax.sharding.NamedSharding(

@@ -17,6 +17,15 @@ import jax
 import jax.numpy as jnp
 
 
+def default_compute_dtype() -> jnp.dtype:
+    """bf16 (native MXU precision) unless ``CROPNERF_FP32_MATMUL=1`` — the
+    fp32 verification arm used by the sharded-grad oracle to show the bf16
+    flagship equivalence tolerance is pure rounding (read at trace time)."""
+    import os
+    return (jnp.float32 if os.environ.get("CROPNERF_FP32_MATMUL")
+            else jnp.bfloat16)
+
+
 def mlp_init(key: jax.Array, in_dim: int, hidden_dim: int, out_dim: int,
              num_layers: int) -> dict:
     """He-uniform init. ``num_layers`` counts weight matrices (>= 1).
@@ -40,7 +49,7 @@ def mlp_init(key: jax.Array, in_dim: int, hidden_dim: int, out_dim: int,
 def mlp_apply(params: dict, x: jnp.ndarray,
               hidden_activation: Callable = jax.nn.relu,
               output_activation: Optional[Callable] = None,
-              compute_dtype: jnp.dtype = jnp.bfloat16,
+              compute_dtype: Optional[jnp.dtype] = None,
               impl: str = "xla") -> jnp.ndarray:
     """Apply the MLP. Input [..., in] → [..., out] (float32 out).
 
@@ -50,6 +59,8 @@ def mlp_apply(params: dict, x: jnp.ndarray,
     """
     ws, bs = params["w"], params["b"]
     n = len(ws)
+    if compute_dtype is None:
+        compute_dtype = default_compute_dtype()
     if impl == "pallas-fused":
         impl = "pallas"         # the PE-fused trunk knob; plain heads use
                                 # the ordinary fused-MLP kernel

@@ -19,6 +19,10 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+
+from ..mlp import default_compute_dtype as _cdt
+# _cdt(): bf16 (native MXU) unless CROPNERF_FP32_MATMUL=1 (fp32
+# verification arm for the sharded-grad oracle; trace-time read)
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -28,13 +32,13 @@ def _fwd_kernel(x_ref, *refs):
     out_ref = refs[-1]
     wbs = refs[:-1]
     n_layers = len(wbs) // 2
-    h = x_ref[:].astype(jnp.bfloat16)
+    h = x_ref[:].astype(_cdt())
     for i in range(n_layers):
         w, b = wbs[2 * i], wbs[2 * i + 1]
-        h = jnp.dot(h, w[:].astype(jnp.bfloat16),
+        h = jnp.dot(h, w[:].astype(_cdt()),
                     preferred_element_type=jnp.float32) + b[:]
         if i < n_layers - 1:
-            h = jnp.maximum(h, 0.0).astype(jnp.bfloat16)
+            h = jnp.maximum(h, 0.0).astype(_cdt())
     out_ref[:] = h.astype(jnp.float32)
 
 
@@ -52,15 +56,15 @@ def _bwd_kernel(x_ref, *refs):
     dwbs = refs[2 * n_layers + 2:]
 
     # forward recompute, stashing pre-activation masks + activations
-    h = x_ref[:].astype(jnp.bfloat16)
+    h = x_ref[:].astype(_cdt())
     acts = [h]
     for i in range(n_layers):
         w, b = wbs[2 * i], wbs[2 * i + 1]
-        h = jnp.dot(h, w[:].astype(jnp.bfloat16),
+        h = jnp.dot(h, w[:].astype(_cdt()),
                     preferred_element_type=jnp.float32) + b[:]
         if i < n_layers - 1:
             h = jnp.maximum(h, 0.0)
-        acts.append(h.astype(jnp.bfloat16))
+        acts.append(h.astype(_cdt()))
 
     first = pl.program_id(0) == 0
     g = g_ref[:].astype(jnp.float32)
@@ -69,7 +73,7 @@ def _bwd_kernel(x_ref, *refs):
         # dw[d_in, d_out] = sum_n a[n, d_in] g[n, d_out]  (contract batch dim
         # via dot_general — Mosaic rejects explicit .T on MXU operands)
         dw = jax.lax.dot_general(
-            a_in, g.astype(jnp.bfloat16),
+            a_in, g.astype(_cdt()),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         db = jnp.sum(g, axis=0, keepdims=True)
@@ -86,7 +90,7 @@ def _bwd_kernel(x_ref, *refs):
 
         # g_in[n, d_in] = sum_dout g[n, d_out] W[d_in, d_out]
         g = jax.lax.dot_general(
-            g.astype(jnp.bfloat16), wbs[2 * i][:].astype(jnp.bfloat16),
+            g.astype(_cdt()), wbs[2 * i][:].astype(_cdt()),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         if i > 0:
@@ -131,13 +135,13 @@ def _fused_mlp_fwd(x, wbs, tile_n, interpret):
     N = x.shape[0]
     if N % tile_n != 0 or N == 0:
         # ragged: fall back to plain jnp (still correct, just unfused)
-        h = x.astype(jnp.bfloat16)
+        h = x.astype(_cdt())
         n_layers = len(wbs) // 2
         for i in range(n_layers):
-            h = jnp.dot(h, wbs[2 * i].astype(jnp.bfloat16),
+            h = jnp.dot(h, wbs[2 * i].astype(_cdt()),
                         preferred_element_type=jnp.float32) + wbs[2 * i + 1]
             if i < n_layers - 1:
-                h = jnp.maximum(h, 0.0).astype(jnp.bfloat16)
+                h = jnp.maximum(h, 0.0).astype(_cdt())
         return h.astype(jnp.float32), (x, tuple(wbs))
     return _call_fwd(x, wbs, tile_n, interpret), (x, tuple(wbs))
 
@@ -149,12 +153,12 @@ def _fused_mlp_bwd(tile_n, interpret, res, g):
     if N % tile_n != 0 or N == 0:
         # mirror the ragged fallback with plain autodiff
         def f(x, wbs):
-            h = x.astype(jnp.bfloat16)
+            h = x.astype(_cdt())
             for i in range(n_layers):
-                h = jnp.dot(h, wbs[2 * i].astype(jnp.bfloat16),
+                h = jnp.dot(h, wbs[2 * i].astype(_cdt()),
                             preferred_element_type=jnp.float32) + wbs[2 * i + 1]
                 if i < n_layers - 1:
-                    h = jnp.maximum(h, 0.0).astype(jnp.bfloat16)
+                    h = jnp.maximum(h, 0.0).astype(_cdt())
             return h.astype(jnp.float32)
         _, vjp = jax.vjp(f, x, list(wbs))
         dx, dwbs = vjp(g)

@@ -34,6 +34,10 @@ from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+
+from ..mlp import default_compute_dtype as _cdt
+# _cdt(): bf16 (native MXU) unless CROPNERF_FP32_MATMUL=1 (fp32
+# verification arm for the sharded-grad oracle; trace-time read)
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -82,7 +86,7 @@ def _encode_bwd(pre: jnp.ndarray, g_enc: jnp.ndarray, dim: int,
 
 
 def _mm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    return jnp.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+    return jnp.dot(a.astype(_cdt()), b.astype(_cdt()),
                    preferred_element_type=jnp.float32)
 
 
@@ -129,17 +133,17 @@ def _fwd_kernel(dim, num_freqs, n_base, n_top, x_ref, s_ref, *refs):
 
     x = x_ref[:].astype(jnp.float32)
     pre = jnp.dot(x, s_ref[:], preferred_element_type=jnp.float32)
-    enc = _encode(pre, dim, num_freqs).astype(jnp.bfloat16)
+    enc = _encode(pre, dim, num_freqs).astype(_cdt())
 
     h = enc
     for i in range(n_base):
         h = _mm(h, base[2 * i][:]) + base[2 * i + 1][:]
-        h = jnp.maximum(h, 0.0).astype(jnp.bfloat16)
+        h = jnp.maximum(h, 0.0).astype(_cdt())
 
     wt0 = top[0][:]                           # [H + enc_dim, H_top]
     t = _mm(h, wt0[:H]) + _mm(enc, wt0[H:]) + top[1][:]
     for i in range(1, n_top):
-        t = jnp.maximum(t, 0.0).astype(jnp.bfloat16)
+        t = jnp.maximum(t, 0.0).astype(_cdt())
         t = _mm(t, top[2 * i][:]) + top[2 * i + 1][:]
     out_ref[:] = t.astype(jnp.float32)
 
@@ -165,20 +169,20 @@ def _bwd_kernel(dim, num_freqs, n_base, n_top, x_ref, s_ref, *refs):
 
     x = x_ref[:].astype(jnp.float32)
     pre = jnp.dot(x, s_ref[:], preferred_element_type=jnp.float32)
-    enc = _encode(pre, dim, num_freqs).astype(jnp.bfloat16)
+    enc = _encode(pre, dim, num_freqs).astype(_cdt())
 
     # recompute, stashing post-activation slabs (relu masks recoverable)
     b_acts = [enc]
     h = enc
     for i in range(n_base):
         h = _mm(h, base[2 * i][:]) + base[2 * i + 1][:]
-        h = jnp.maximum(h, 0.0).astype(jnp.bfloat16)
+        h = jnp.maximum(h, 0.0).astype(_cdt())
         b_acts.append(h)
     wt0 = top[0][:]
     t = _mm(h, wt0[:H]) + _mm(enc, wt0[H:]) + top[1][:]
-    t_acts = [t.astype(jnp.bfloat16)]         # pre-relu of hidden handled via >0 on post
+    t_acts = [t.astype(_cdt())]         # pre-relu of hidden handled via >0 on post
     for i in range(1, n_top):
-        t = jnp.maximum(t, 0.0).astype(jnp.bfloat16)
+        t = jnp.maximum(t, 0.0).astype(_cdt())
         t_acts.append(t)                      # post-relu input to layer i
         t = _mm(t, top[2 * i][:]) + top[2 * i + 1][:]
 
@@ -195,7 +199,7 @@ def _bwd_kernel(dim, num_freqs, n_base, n_top, x_ref, s_ref, *refs):
 
     def dwb(a_in, g):
         dw = jax.lax.dot_general(
-            a_in.astype(jnp.bfloat16), g.astype(jnp.bfloat16),
+            a_in.astype(_cdt()), g.astype(_cdt()),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         return dw, jnp.sum(g, axis=0, keepdims=True)
@@ -208,7 +212,7 @@ def _bwd_kernel(dim, num_freqs, n_base, n_top, x_ref, s_ref, *refs):
         acc(2 * n_base + 3 + 2 * (i - 1), dw)
         acc(2 * n_base + 3 + 2 * (i - 1) + 1, db)
         g = jax.lax.dot_general(
-            g.astype(jnp.bfloat16), top[2 * i][:].astype(jnp.bfloat16),
+            g.astype(_cdt()), top[2 * i][:].astype(_cdt()),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         g = jnp.where(a_in.astype(jnp.float32) > 0.0, g, 0.0)
@@ -224,11 +228,11 @@ def _bwd_kernel(dim, num_freqs, n_base, n_top, x_ref, s_ref, *refs):
     acc(2 * n_base + 2, db0)
 
     g_h = jax.lax.dot_general(
-        g.astype(jnp.bfloat16), wt0[:H].astype(jnp.bfloat16),
+        g.astype(_cdt()), wt0[:H].astype(_cdt()),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
     g_enc = jax.lax.dot_general(
-        g.astype(jnp.bfloat16), wt0[H:].astype(jnp.bfloat16),
+        g.astype(_cdt()), wt0[H:].astype(_cdt()),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
 
@@ -240,7 +244,7 @@ def _bwd_kernel(dim, num_freqs, n_base, n_top, x_ref, s_ref, *refs):
         acc(2 * i, dw)
         acc(2 * i + 1, db)
         g = jax.lax.dot_general(
-            g.astype(jnp.bfloat16), base[2 * i][:].astype(jnp.bfloat16),
+            g.astype(_cdt()), base[2 * i][:].astype(_cdt()),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         if i > 0:
@@ -263,15 +267,15 @@ def _ref_forward(x, s, base_wbs, top_wbs, dim, num_freqs):
     H = base_wbs[-2].shape[1]
     pre = jnp.dot(x.astype(jnp.float32), s,
                   preferred_element_type=jnp.float32)
-    enc = _encode(pre, dim, num_freqs).astype(jnp.bfloat16)
+    enc = _encode(pre, dim, num_freqs).astype(_cdt())
     h = enc
     for i in range(n_base):
         h = _mm(h, base_wbs[2 * i]) + base_wbs[2 * i + 1]
-        h = jnp.maximum(h, 0.0).astype(jnp.bfloat16)
+        h = jnp.maximum(h, 0.0).astype(_cdt())
     wt0 = top_wbs[0]
     t = _mm(h, wt0[:H]) + _mm(enc, wt0[H:]) + top_wbs[1]
     for i in range(1, n_top):
-        t = jnp.maximum(t, 0.0).astype(jnp.bfloat16)
+        t = jnp.maximum(t, 0.0).astype(_cdt())
         t = _mm(t, top_wbs[2 * i]) + top_wbs[2 * i + 1]
     return t.astype(jnp.float32)
 
@@ -423,32 +427,32 @@ def _mega_fwd_kernel(dim, num_freqs, n_base, n_top, n_color, n_sem,
 
     x = x_ref[:].astype(jnp.float32)
     pre = jnp.dot(x, s_ref[:], preferred_element_type=jnp.float32)
-    enc = _encode(pre, dim, num_freqs).astype(jnp.bfloat16)
+    enc = _encode(pre, dim, num_freqs).astype(_cdt())
 
     h = enc
     for i in range(n_base):
         h = _mm(h, base[2 * i][:]) + base[2 * i + 1][:]
-        h = jnp.maximum(h, 0.0).astype(jnp.bfloat16)
+        h = jnp.maximum(h, 0.0).astype(_cdt())
     wt0 = top[0][:]
     t = _mm(h, wt0[:H]) + _mm(enc, wt0[H:]) + top[1][:]
     for i in range(1, n_top):
-        t = jnp.maximum(t, 0.0).astype(jnp.bfloat16)
+        t = jnp.maximum(t, 0.0).astype(_cdt())
         t = _mm(t, top[2 * i][:]) + top[2 * i + 1][:]
     t_out[:] = t.astype(jnp.float32)
 
-    tb = t.astype(jnp.bfloat16)
-    ex = ex_ref[:].astype(jnp.bfloat16)
+    tb = t.astype(_cdt())
+    ex = ex_ref[:].astype(_cdt())
 
     # colour head: layer 0 = t·WcT_pad + extras·WcE + b, then plain stack
     c = _mm(tb, color[0][:]) + _mm(ex, color[1][:]) + color[2][:]
     for i in range(1, n_color):
-        c = jnp.maximum(c, 0.0).astype(jnp.bfloat16)
+        c = jnp.maximum(c, 0.0).astype(_cdt())
         c = _mm(c, color[2 * i + 1][:]) + color[2 * i + 2][:]
     rgb_out[:] = c.astype(jnp.float32)
 
     sm = _mm(tb, sem[0][:]) + sem[1][:]
     for i in range(1, n_sem):
-        sm = jnp.maximum(sm, 0.0).astype(jnp.bfloat16)
+        sm = jnp.maximum(sm, 0.0).astype(_cdt())
         sm = _mm(sm, sem[2 * i][:]) + sem[2 * i + 1][:]
     sem_out[:] = sm.astype(jnp.float32)
 
@@ -475,35 +479,35 @@ def _mega_bwd_kernel(dim, num_freqs, n_base, n_top, n_color, n_sem,
 
     x = x_ref[:].astype(jnp.float32)
     pre = jnp.dot(x, s_ref[:], preferred_element_type=jnp.float32)
-    enc = _encode(pre, dim, num_freqs).astype(jnp.bfloat16)
+    enc = _encode(pre, dim, num_freqs).astype(_cdt())
 
     b_acts = [enc]
     h = enc
     for i in range(n_base):
         h = _mm(h, base[2 * i][:]) + base[2 * i + 1][:]
-        h = jnp.maximum(h, 0.0).astype(jnp.bfloat16)
+        h = jnp.maximum(h, 0.0).astype(_cdt())
         b_acts.append(h)
     wt0 = top[0][:]
     t = _mm(h, wt0[:H]) + _mm(enc, wt0[H:]) + top[1][:]
-    t_acts = [t.astype(jnp.bfloat16)]
+    t_acts = [t.astype(_cdt())]
     for i in range(1, n_top):
-        t = jnp.maximum(t, 0.0).astype(jnp.bfloat16)
+        t = jnp.maximum(t, 0.0).astype(_cdt())
         t_acts.append(t)
         t = _mm(t, top[2 * i][:]) + top[2 * i + 1][:]
-    tb = t.astype(jnp.bfloat16)
-    ex = ex_ref[:].astype(jnp.bfloat16)
+    tb = t.astype(_cdt())
+    ex = ex_ref[:].astype(_cdt())
 
     c_acts = [tb]
     c = _mm(tb, color[0][:]) + _mm(ex, color[1][:]) + color[2][:]
     for i in range(1, n_color):
-        c = jnp.maximum(c, 0.0).astype(jnp.bfloat16)
+        c = jnp.maximum(c, 0.0).astype(_cdt())
         c_acts.append(c)
         c = _mm(c, color[2 * i + 1][:]) + color[2 * i + 2][:]
 
     s_acts = [tb]
     sm = _mm(tb, sem[0][:]) + sem[1][:]
     for i in range(1, n_sem):
-        sm = jnp.maximum(sm, 0.0).astype(jnp.bfloat16)
+        sm = jnp.maximum(sm, 0.0).astype(_cdt())
         s_acts.append(sm)
         sm = _mm(sm, sem[2 * i][:]) + sem[2 * i + 1][:]
 
@@ -520,14 +524,14 @@ def _mega_bwd_kernel(dim, num_freqs, n_base, n_top, n_color, n_sem,
 
     def dwb(a_in, g):
         dw = jax.lax.dot_general(
-            a_in.astype(jnp.bfloat16), g.astype(jnp.bfloat16),
+            a_in.astype(_cdt()), g.astype(_cdt()),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         return dw, jnp.sum(g, axis=0, keepdims=True)
 
     def bp(g, w):
         return jax.lax.dot_general(
-            g.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+            g.astype(_cdt()), w.astype(_cdt()),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
 
@@ -616,16 +620,16 @@ def _mega_ref(x, extras, s, base_wbs, top_wbs, color_wbs, sem_wbs,
     n_color = (len(color_wbs) - 1) // 2
     n_sem = len(sem_wbs) // 2
     t = _ref_forward(x, s, base_wbs, top_wbs, dim, num_freqs)
-    tb = t.astype(jnp.bfloat16)
-    ex = extras.astype(jnp.bfloat16)
+    tb = t.astype(_cdt())
+    ex = extras.astype(_cdt())
     c = _mm(tb, color_wbs[0]) + _mm(ex, color_wbs[1]) + color_wbs[2]
     for i in range(1, n_color):
-        c = jnp.maximum(c, 0.0).astype(jnp.bfloat16)
+        c = jnp.maximum(c, 0.0).astype(_cdt())
         c = _mm(c, color_wbs[2 * i + 1]) + color_wbs[2 * i + 2]
     ts = tb if pass_sem_grad else jax.lax.stop_gradient(tb)
     sm = _mm(ts, sem_wbs[0]) + sem_wbs[1]
     for i in range(1, n_sem):
-        sm = jnp.maximum(sm, 0.0).astype(jnp.bfloat16)
+        sm = jnp.maximum(sm, 0.0).astype(_cdt())
         sm = _mm(sm, sem_wbs[2 * i]) + sem_wbs[2 * i + 1]
     return (t.astype(jnp.float32), c.astype(jnp.float32),
             sm.astype(jnp.float32))
@@ -804,11 +808,11 @@ def _plain_fwd_kernel(dim, num_freqs, n_layers, x_ref, s_ref, *refs):
     wbs = refs[:-1]
     x = x_ref[:].astype(jnp.float32)
     pre = jnp.dot(x, s_ref[:], preferred_element_type=jnp.float32)
-    h = _encode(pre, dim, num_freqs).astype(jnp.bfloat16)
+    h = _encode(pre, dim, num_freqs).astype(_cdt())
     for i in range(n_layers):
         h = _mm(h, wbs[2 * i][:]) + wbs[2 * i + 1][:]
         if i < n_layers - 1:
-            h = jnp.maximum(h, 0.0).astype(jnp.bfloat16)
+            h = jnp.maximum(h, 0.0).astype(_cdt())
     out_ref[:] = h.astype(jnp.float32)
 
 
@@ -821,13 +825,13 @@ def _plain_bwd_kernel(dim, num_freqs, n_layers, x_ref, s_ref, *refs):
 
     x = x_ref[:].astype(jnp.float32)
     pre = jnp.dot(x, s_ref[:], preferred_element_type=jnp.float32)
-    enc = _encode(pre, dim, num_freqs).astype(jnp.bfloat16)
+    enc = _encode(pre, dim, num_freqs).astype(_cdt())
     acts = [enc]
     h = enc
     for i in range(n_layers):
         h = _mm(h, wbs[2 * i][:]) + wbs[2 * i + 1][:]
         if i < n_layers - 1:
-            h = jnp.maximum(h, 0.0).astype(jnp.bfloat16)
+            h = jnp.maximum(h, 0.0).astype(_cdt())
             acts.append(h)
 
     first = pl.program_id(0) == 0
@@ -845,13 +849,13 @@ def _plain_bwd_kernel(dim, num_freqs, n_layers, x_ref, s_ref, *refs):
     for i in reversed(range(n_layers)):
         a_in = acts[i]
         dw = jax.lax.dot_general(
-            a_in.astype(jnp.bfloat16), g.astype(jnp.bfloat16),
+            a_in.astype(_cdt()), g.astype(_cdt()),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         acc(2 * i, dw)
         acc(2 * i + 1, jnp.sum(g, axis=0, keepdims=True))
         g = jax.lax.dot_general(
-            g.astype(jnp.bfloat16), wbs[2 * i][:].astype(jnp.bfloat16),
+            g.astype(_cdt()), wbs[2 * i][:].astype(_cdt()),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         if i > 0:
@@ -867,11 +871,11 @@ def _plain_ref(x, s, wbs, dim, num_freqs):
     n_layers = len(wbs) // 2
     pre = jnp.dot(x.astype(jnp.float32), s,
                   preferred_element_type=jnp.float32)
-    h = _encode(pre, dim, num_freqs).astype(jnp.bfloat16)
+    h = _encode(pre, dim, num_freqs).astype(_cdt())
     for i in range(n_layers):
         h = _mm(h, wbs[2 * i]) + wbs[2 * i + 1]
         if i < n_layers - 1:
-            h = jnp.maximum(h, 0.0).astype(jnp.bfloat16)
+            h = jnp.maximum(h, 0.0).astype(_cdt())
     return h.astype(jnp.float32)
 
 

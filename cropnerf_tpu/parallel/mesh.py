@@ -44,6 +44,22 @@ def shard_rays(mesh: Optional[Mesh], x):
     return jax.tree.map(annotate, x)
 
 
+_warned_unsharded: set = set()
+
+
+def warn_unsharded(site: str, n: int, mesh_size: int) -> None:
+    """One-time notice when a dispatch falls back to unsharded because the
+    batch does not divide the mesh — a user asking for --multichip should
+    never silently get a single-device run (advisor r4)."""
+    key = (site, n, mesh_size)
+    if key not in _warned_unsharded:
+        _warned_unsharded.add(key)
+        print(f"[{site}] NOTE: batch of {n} rays does not divide the "
+              f"{mesh_size}-device mesh — this dispatch runs UNSHARDED "
+              "(pick a batch size divisible by the device count to shard "
+              "it)", flush=True)
+
+
 def pad_to_multiple(n: int, devices: int) -> int:
     """Smallest multiple of ``devices`` >= n (ray batches must divide the
     mesh evenly for even sharding)."""

@@ -150,7 +150,11 @@ class ClusterProjector:
         mesh = self.mesh
 
         def shard_rays(x):
-            if mesh is None or x.shape[0] % mesh.size != 0:
+            if mesh is None:
+                return x
+            if x.shape[0] % mesh.size != 0:
+                from ..parallel.mesh import warn_unsharded
+                warn_unsharded("project", x.shape[0], mesh.size)
                 return x
             return jax.lax.with_sharding_constraint(
                 x, jax.sharding.NamedSharding(

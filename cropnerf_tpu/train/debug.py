@@ -96,12 +96,21 @@ def replay_sharded_step(state: TrainState, bank_global: PixelBank,
 
 def assert_sharded_step_matches_replay(state, bank_sharded, bank_global,
                                        key, cfg, mesh,
-                                       atol=3e-5, rtol=1e-2) -> float:
+                                       atol=3e-5, rtol=1e-2,
+                                       atol_camera_opt=None) -> float:
     """Run the real shard_map step and the replay; assert the pmean'd GRADS
     and metrics allclose (gradients are the DDP contract — post-Adam params
     are not comparable at eps=1e-15, where a float-reassociation sign flip
     on a near-zero gradient moves a param by ±2·lr).  Returns the max grad
-    deviation (for logging)."""
+    deviation (for logging).
+
+    ``atol_camera_opt``: separate tolerance for the camera_opt leaf.  Its
+    gradient is a sum of strongly-cancelling per-ray pose terms whose
+    compile-fusion reassociation noise floor is ~3.5e-4 on the flagship
+    EVEN IN PURE FP32 (measured: the identical fp32 replay, eager vs
+    jitted, deviates by exactly the same 3.52e-4 on camera_opt while every
+    field/prop leaf stays <= 7e-6) — so a tight global atol would flag
+    reassociation, not sharding bugs.  None = use ``atol``."""
     import numpy as np
 
     from .step import make_sharded_train_step
@@ -110,12 +119,16 @@ def assert_sharded_step_matches_replay(state, bank_sharded, bank_global,
     state_s, aux_s = step_s(state, bank_sharded, key)
     _, aux_r = replay_sharded_step(state, bank_global, key, cfg, mesh.size)
     max_dev = 0.0
-    for a, b in zip(jax.tree.leaves(aux_s["grads"]),
-                    jax.tree.leaves(aux_r["grads"])):
+    flat_s = jax.tree_util.tree_flatten_with_path(aux_s["grads"])[0]
+    for (path, a), b in zip(flat_s, jax.tree.leaves(aux_r["grads"])):
+        name = jax.tree_util.keystr(path)
+        tol = (atol_camera_opt
+               if atol_camera_opt is not None and "camera_opt" in name
+               else atol)
         d = float(jnp.max(jnp.abs(a - b)))
         max_dev = max(max_dev, d)
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=atol,
-                                   rtol=rtol)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=tol,
+                                   rtol=rtol, err_msg=name)
     for k in ("loss", "rgb_loss", "semantics_loss", "psnr"):
         np.testing.assert_allclose(float(aux_s[k]), float(aux_r[k]),
                                    rtol=1e-4, atol=1e-6)

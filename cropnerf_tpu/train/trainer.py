@@ -121,6 +121,8 @@ class Trainer:
         # the same defense with a flagship-specific floor.
         self.min_rays_per_s = min_rays_per_s
         self._slow_retries = 0
+        self._busy_windows = 0
+        self._warned_busy_windows = False
         self.eval_batch_fn = make_eval_batch_fn(cfg)
         # renders shard each chunk's rays over the mesh too (train AND
         # render rays/s are the north star, BASELINE.md) — single-host
@@ -354,6 +356,22 @@ class Trainer:
                       f"psnr={m['psnr']:.2f} rays/s={m['rays_per_s']:.0f}",
                       flush=True)
                 window_clean = not win_has_compile and not win_busy
+                if self.min_rays_per_s is not None:
+                    # eval/save cadence at or below the logging cadence can
+                    # busy-exempt EVERY window, silently disabling the
+                    # watchdog (advisor r4) — warn once after 10 in a row
+                    self._busy_windows = (self._busy_windows + 1 if win_busy
+                                          else 0)
+                    if (self._busy_windows == 10
+                            and not self._warned_busy_windows):
+                        self._warned_busy_windows = True
+                        print("[watchdog] NOTE: the last 10 logging windows "
+                              "all contained eval/save work and were "
+                              "exempted from the throughput floor — the "
+                              "slow-executable defense is effectively "
+                              "disabled at this eval/log cadence; raise "
+                              "log_every or lower the eval cadence to "
+                              "re-arm it", flush=True)
                 if (self.min_rays_per_s is not None and window_clean
                         and rate_win < self.min_rays_per_s
                         and self._slow_retries < _MAX_SLOW_RETRIES):
