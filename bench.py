@@ -189,10 +189,93 @@ def breakdown(cfg, bank, n_img):
         times.append(time.perf_counter() - t0)
     rows["forward only"] = float(np.median(times)) / NUM_INNER * 1e3
 
+    # isolated field / prop-stack fwd+bwd so each component gets its own
+    # TFLOP/s line (VERDICT r4 item 2iii — per-component roofline)
+    from cropnerf_tpu.models.field import field_all
+    from cropnerf_tpu.models.model import _proposal_sampling
+
+    def timed_scan(body, carry0=0.0, iters=8):
+        @jax.jit
+        def run(carry, key):
+            def sc(c, k):
+                return body(c, k), None
+            out, _ = jax.lax.scan(sc, carry,
+                                  jax.random.split(key, NUM_INNER))
+            return out
+        key = jax.random.PRNGKey(5)
+        for _ in range(2):
+            key, sub = jax.random.split(key)
+            out = run(carry0, sub)
+        float(jax.device_get(out))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            a = carry0
+            for _ in range(iters):
+                key, sub = jax.random.split(key)
+                a = run(a, sub)
+            float(jax.device_get(a))
+            best = min(best, (time.perf_counter() - t0) / iters)
+        return best / NUM_INNER * 1e3
+
+    S = m.num_nerf_samples_per_ray
+    fparams = {k: v for k, v in state.params.items() if k == "field"}
+
+    def field_fwbw(c, k):
+        x = jax.random.uniform(k, (R, S, 3), minval=-1.0, maxval=1.0)
+        dirs = jnp.zeros((R, 3)).at[:, 2].set(1.0)
+        cam = jnp.zeros((R,), jnp.int32)
+
+        def loss(fp):
+            d, rgb, sem = field_all(fp["field"], x, dirs, cam, m.field,
+                                    train=True)
+            return (jnp.sum(d) * 1e-6 + jnp.sum(rgb) * 1e-6
+                    + jnp.sum(sem) * 1e-6)
+        g = jax.grad(loss)(fparams)
+        return c + jax.tree_util.tree_reduce(
+            lambda a, b: a + jnp.sum(jnp.abs(b)) * 1e-9, g, 0.0)
+
+    rows["field fwd+bwd (isolated)"] = timed_scan(field_fwbw)
+
+    pp0 = {k: v for k, v in state.params.items()
+           if k.startswith("proposal")}
+
+    def prop_fwbw(c, k):
+        k_idx, k_s = jax.random.split(k)
+        idx = jax.random.randint(k_idx, (R,), 0, bank.num_pixels)
+        cam, px, py = decode_pixel_index(idx, bank.height, bank.width)
+        origins, dirs = generate_rays(bank.cameras, cam, px, py)
+        rb = RayBundle(origins=origins, directions=dirs,
+                       nears=jnp.zeros((R,)), fars=jnp.ones((R,)),
+                       camera_idx=cam)
+        rb = near_far_collider(rb, m.near_plane, m.far_plane)
+
+        def loss(pp):
+            merged = {**state.params, **pp}
+            _, wl, _ = _proposal_sampling(merged, rb, m, k_s, True, 1.0)
+            return sum(jnp.sum(w) for w in wl) * 1e-6
+        g = jax.grad(loss)(pp0)
+        return c + jax.tree_util.tree_reduce(
+            lambda a, b: a + jnp.sum(jnp.abs(b)) * 1e-9, g, 0.0)
+
+    rows["prop stack fwd+bwd (isolated)"] = timed_scan(prop_fwbw)
+
+    from cropnerf_tpu.utils.flops import train_step_flops
+    fl = train_step_flops(cfg)
+    comp_flops = {
+        "full step (fwd+bwd+adam)": fl["model_flops_per_step"],
+        "fwd+bwd+sgd (adam cost isolated)": fl["model_flops_per_step"],
+        "forward only": fl["fwd_flops"],
+        "field fwd+bwd (isolated)": 3.0 * fl["field_fwd_flops"],
+        "prop stack fwd+bwd (isolated)": 3.0 * fl["prop_fwd_flops"],
+    }
     print("step-time breakdown (ms/step, base preset, "
           f"{cfg.train_num_rays_per_batch} rays):", file=sys.stderr)
     for k, v in rows.items():
-        print(f"  {k:38s} {v:7.3f}", file=sys.stderr)
+        tf = comp_flops.get(k)
+        suffix = (f"   {tf / (v * 1e-3) / 1e12:6.1f} TFLOP/s"
+                  if tf else "")
+        print(f"  {k:38s} {v:7.3f}{suffix}", file=sys.stderr)
     return rows
 
 
