@@ -63,16 +63,27 @@ Pending:
     thresholds (medians 2128/28.4), 10/10 superclusters, count 13 at
     reference-exact defaults / 11 exact with attach_unlabeled — occluder-
     interior semantic leak root-caused, see benchmarks/README.md.
-  * round 5: psnr_parity CONTROL arm — `--presets cropnerf@mxu-opt
-    --scene sphere --steps 2000` (~46 min at 1.39 s/step; the committed
-    study's missing converse control).  Then the harder-scene study:
-    `--presets cropnerf-mxu,cropnerf,cropnerf@mxu-opt --scene orchard`
-    (~95 min).  Both were coded+smoked r4; the tunnel was down for most
-    of the round's second half (wedges of 1-3 h observed).
-  * round 5 (optional): dress fixture with 5 elevation rings x 90 cams —
-    partial r4 data (leak 4.1% vs 6% at 3 rings) suggests denser
-    elevation coverage shrinks occluder-interior extrapolation; the run
-    wedged mid-projection.  benchmarks/dress_rehearsal.py --steps 5000.
+Done (2026-08-21, round 5, healthy tunnel window):
+  * psnr_parity CONTROL arm (cropnerf@mxu-opt, sphere, 2000 steps):
+    final 22.08 — decomposition: +1.8 dB optimizer regime, +3.1 dB field
+    swap (merged into psnr_parity_results.json; benchmarks/README).
+  * redesigned dress fixture: EXACT count 11/11 at untouched reference
+    defaults, no attach_unlabeled; occluder logit leak 0.0%; projection
+    402 s for 1200 jobs under the static bucket ladder (5 programs).
+
+Pending (round 5, in flight or queued):
+  * orchard 3-arm psnr_parity study (RUNNING, pid logged in
+    benchmarks/psnr_orchard.log; ~2 h).
+  * benchmarks/ab_propshape.py — MXU-tile-aligned prop-net shapes
+    (3x64 vs 2x128 vs 3x128) at matched quality; timing-sensitive, run
+    on an idle chip only.
+  * benchmarks/mfu_ceiling.py — workload-shaped matmul ceiling
+    re-derivation (timing-sensitive, idle chip only).
+  * bench.py + bench.py --breakdown rerun (now with per-component
+    TFLOP/s rows).
+  * (optional) occluders-in-AABB fixture at 5 elevation rings x 90 cams
+    — finish the r4 leak-vs-coverage study (needs the old occluder
+    geometry from git history commit 09ab60e^).
   * (closed 2026-08-20) bench_export speedup re-measured with both arms
     warm: 11.0x (was 17.2x with a dense-side recompile); compact path
     400 ms / 21.0 M queries/s.  benchmarks/README.md updated.
