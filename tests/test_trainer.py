@@ -334,6 +334,17 @@ class TestThroughputWatchdog:
         t.train(num_steps=40, log_every=10)
         assert t._slow_retries == 0
 
+    def test_warns_when_every_window_busy_exempt(self, tmp_path, capsys):
+        """10 consecutive busy-exempt windows must produce the one-time
+        notice that the floor is effectively disabled (advisor r4) — and
+        exactly once even over more windows."""
+        t = self._trainer(tmp_path, min_rays_per_s=1e15)
+        t.cfg = dataclasses.replace(t.cfg, steps_per_eval_batch=2)
+        t.train(num_steps=48, log_every=4)     # 12 windows, all with evals
+        assert t._slow_retries == 0
+        out = capsys.readouterr().out
+        assert out.count("exempted from the throughput floor") == 1
+
     def test_gives_up_loudly_after_retries(self, tmp_path, capsys):
         """Once retries are exhausted and throughput stays under the floor,
         the trainer warns once instead of degrading silently."""
