@@ -56,11 +56,17 @@ RING_R, CROP_R, OCC_R = 0.85, 0.16, 0.25
 EXPORT_AABB = [[-1.05, -1.05, -0.30], [1.05, 1.05, 1.05]]
 
 
-def scene_centers():
+def scene_centers(variant: str = "sightlines"):
     ring = [(RING_R * np.cos(t), RING_R * np.sin(t), 0.0)
             for t in np.linspace(0, 2 * np.pi, 8, endpoint=False)]
     pair = [(0.0, -0.17, 0.80), (0.0, 0.17, 0.80)]
     center = [(0.0, 0.0, 0.25)]
+    if variant == "occluders-in-aabb":
+        # the SUPERSEDED r4 geometry (flankers touching ring crops 1/5,
+        # inside the export AABB) — kept runnable for the leak-vs-camera-
+        # coverage study (VERDICT r4 item 6): denser elevation coverage is
+        # hypothesized to shrink the occluder-interior logit leak
+        return ring + pair + center, [(0.5, 0.0, 0.1), (-0.5, 0.0, 0.1)]
     # Occluders sit ALONG THE SIGHTLINES (between the low camera ring and
     # the center crop) but OUTSIDE the export AABB and eps-far from every
     # crop.  Three failure modes were root-caused in r4 with occluders
@@ -79,10 +85,12 @@ def scene_centers():
     return ring + pair + center, occluders
 
 
-def build_scene(n_cams: int, h: int, w: int, focal: float):
+def build_scene(n_cams: int, h: int, w: int, focal: float,
+                variant: str = "sightlines", n_rings: int = 3):
     from synthetic import render_multi_sphere_images, ring_cameras
-    crops, occluders = scene_centers()
-    elevations = tuple(np.tile([0.45, 1.0, 1.55], n_cams // 3 + 1)[:n_cams])
+    crops, occluders = scene_centers(variant)
+    ring_heights = np.linspace(0.45, 1.55, n_rings)   # 3 → [.45, 1.0, 1.55]
+    elevations = tuple(np.tile(ring_heights, n_cams // n_rings + 1)[:n_cams])
     cams = ring_cameras(n=n_cams, radius=2.2, height=h, width=w,
                         focal=focal, elevations=elevations)
     images, masks, labels = render_multi_sphere_images(
@@ -91,7 +99,8 @@ def build_scene(n_cams: int, h: int, w: int, focal: float):
     return cams, images, masks, labels
 
 
-def threshold_probe(params, model_cfg, n_probe=512, seed=0):
+def threshold_probe(params, model_cfg, n_probe=512, seed=0,
+                    variant: str = "sightlines"):
     """Fraction of crop-interior samples clearing the PRODUCTION export
     thresholds (density >= 70, logit >= 3) — the scale question the tiny
     fixtures could never answer."""
@@ -99,7 +108,7 @@ def threshold_probe(params, model_cfg, n_probe=512, seed=0):
 
     from cropnerf_tpu.models.field import field_all
 
-    crops, occluders = scene_centers()
+    crops, occluders = scene_centers(variant)
     rng = np.random.RandomState(seed)
     pts, opts = [], []
     for ctr in crops:
@@ -160,6 +169,16 @@ def main() -> None:
     ap.add_argument("--restore-params", type=Path, default=None,
                     help="skip training: load params saved by a previous "
                          "run's <work-dir>/params.npy (pipeline-only rerun)")
+    ap.add_argument("--scene-variant", default="sightlines",
+                    choices=("sightlines", "occluders-in-aabb"),
+                    help="occluders-in-aabb = the superseded r4 geometry, "
+                         "kept for the leak-vs-camera-coverage study")
+    ap.add_argument("--elevation-rings", type=int, default=3,
+                    help="number of camera elevation rings spanning "
+                         "z 0.45..1.55 (the coverage knob of the leak "
+                         "study)")
+    ap.add_argument("--n-cams", type=int, default=None,
+                    help="override the camera count (default 60, quick 24)")
     ap.add_argument("--quick", action="store_true",
                     help="CI smoke: tiny cameras/steps/grid (not a "
                          "rehearsal; thresholds still untouched)")
@@ -191,9 +210,15 @@ def main() -> None:
         args.side = min(args.side, 64)
     else:
         n_cams, h, w, focal = 60, 320, 416, 340.0
+    if args.n_cams is not None:
+        n_cams = args.n_cams
 
-    print(f"building scene: {n_cams} cams at {w}x{h}", flush=True)
-    cams, images, masks, labels = build_scene(n_cams, h, w, focal)
+    print(f"building scene: {n_cams} cams at {w}x{h} "
+          f"({args.scene_variant}, {args.elevation_rings} rings)",
+          flush=True)
+    cams, images, masks, labels = build_scene(
+        n_cams, h, w, focal, variant=args.scene_variant,
+        n_rings=args.elevation_rings)
     bank = build_pixel_bank(images, masks, cams)
 
     import tempfile
@@ -236,7 +261,8 @@ def main() -> None:
                 allow_pickle=True)
         print(f"params saved to {work / 'params.npy'}", flush=True)
 
-    probe = threshold_probe(params, cfg.model)
+    probe = threshold_probe(params, cfg.model,
+                            variant=args.scene_variant)
     print("threshold probe:", json.dumps(probe), flush=True)
 
     # ---- export at PRODUCTION thresholds (defaults untouched) ----
@@ -301,8 +327,10 @@ def main() -> None:
                                    "min_points": 30, "k": 2,
                                    "vx_size": args.vx_size}},
         "scene": {"n_crops": EXPECTED_COUNT,
-                  "n_occluders": len(scene_centers()[1]),
-                  "n_cams": n_cams, "resolution": [h, w]},
+                  "n_occluders": len(scene_centers(args.scene_variant)[1]),
+                  "n_cams": n_cams, "resolution": [h, w],
+                  "variant": args.scene_variant,
+                  "elevation_rings": args.elevation_rings},
         "preset": args.preset, "steps": args.steps, "quick": args.quick,
         "psnr_first": psnr_first, "psnr_final": psnr_final,
         "threshold_probe": probe,
@@ -316,12 +344,17 @@ def main() -> None:
                       "total": round(time.perf_counter() - t_all, 1)},
         "work_dir": str(work),
         "platform": jax.default_backend(),
-        "provenance": "scene variant: occluders ALONG SIGHTLINES, outside "
-                      "the export AABB (commit 1432680 redesign; geometry "
-                      "unit-tested in tests/test_counting.py::"
-                      "TestDressRehearsalSceneInvariants). Supersedes the "
-                      "occluders-in-AABB variant kept at "
-                      "dress_rehearsal_results_occluders_in_aabb.json.",
+        "provenance": (
+            "scene variant: occluders ALONG SIGHTLINES, outside the export "
+            "AABB (commit 1432680 redesign; geometry unit-tested in "
+            "tests/test_counting.py::TestDressRehearsalSceneInvariants). "
+            "Supersedes the occluders-in-AABB variant kept at "
+            "dress_rehearsal_results_occluders_in_aabb.json."
+            if args.scene_variant == "sightlines" else
+            "scene variant: occluders-IN-AABB (superseded r4 geometry, "
+            "rerun deliberately for the leak-vs-camera-coverage study — "
+            "NOT the canonical rehearsal; see "
+            "dress_rehearsal_results.json)"),
     }
     args.out.write_text(json.dumps(artifact, indent=2))
     print(json.dumps(artifact), flush=True)
