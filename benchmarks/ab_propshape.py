@@ -57,7 +57,9 @@ def run_arm(name: str, steps: int, bank, images, cams, n, h, w) -> dict:
 
     cfg = make_arm_cfg(name)
     state = create_train_state(jax.random.PRNGKey(0), cfg, num_images=n)
-    step = make_train_step(cfg, num_inner=NUM_INNER)
+    # donate=False: the timing chain below reuses `state` for the training
+    # run — with donation the first dispatch would delete its buffers
+    step = make_train_step(cfg, num_inner=NUM_INNER, donate=False)
     render = make_render_fn(cfg)
 
     # steady-state speed first (short chains; warm jit for training below)
@@ -67,9 +69,9 @@ def run_arm(name: str, steps: int, bank, images, cams, n, h, w) -> dict:
     key = jax.random.PRNGKey(1)
     rows = []
     done = 0
-    for target in [250, 500, 1000, 2000, 4000]:
-        if target > steps:
-            break
+    # always end exactly at `steps` so no arm silently under-trains
+    for target in [c for c in (250, 500, 1000, 2000, 4000)
+                   if c < steps] + [steps]:
         while done < target:
             key, sub = jax.random.split(key)
             state, m = step(state, bank, sub)

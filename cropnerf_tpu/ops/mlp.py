@@ -66,6 +66,9 @@ def mlp_apply(params: dict, x: jnp.ndarray,
                                 # the ordinary fused-MLP kernel
     if impl == "pallas" and jax.default_backend() != "tpu":
         impl = "xla"            # Mosaic kernels are TPU-only; tests run CPU
+    if impl == "pallas" and compute_dtype is jnp.float32:
+        impl = "xla"            # fp32 debug mode: kernel vmem tile sizes
+                                # are budgeted for bf16 slabs
     if impl == "pallas" and hidden_activation is jax.nn.relu and n >= 1:
         from .pallas.fused_mlp import fused_mlp
         batch_shape = x.shape[:-1]

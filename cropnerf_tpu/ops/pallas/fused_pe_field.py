@@ -304,7 +304,11 @@ def _fwd(x, s, base_wbs, top_wbs, num_freqs, tile_n, interpret, dim,
          tile_bwd=512):
     res = (x, tuple(base_wbs), tuple(top_wbs), s)
     N = x.shape[0]
-    on_tpu = jax.default_backend() == "tpu"
+    # fp32 debug mode bypasses the kernels: their bwd tile sizes are
+    # tuned against the 16 MB scoped-vmem limit at bf16 and fp32
+    # doubles every slab; the jnp mirror computes the same math
+    on_tpu = (jax.default_backend() == "tpu"
+              and _cdt() is not jnp.float32)
     preferred = tile_n
     tile_n = _pick_tile(N, tile_n) if N else 0
     if tile_n == 0 or (not on_tpu and not interpret):
@@ -338,7 +342,11 @@ def _bwd(num_freqs, tile_n, interpret, dim, tile_bwd, res, g):
     # VMEM; a smaller tile keeps it under the 16 MB scoped-vmem stack limit
     x, base_wbs, top_wbs, s = res
     N = x.shape[0]
-    on_tpu = jax.default_backend() == "tpu"
+    # fp32 debug mode bypasses the kernels: their bwd tile sizes are
+    # tuned against the 16 MB scoped-vmem limit at bf16 and fp32
+    # doubles every slab; the jnp mirror computes the same math
+    on_tpu = (jax.default_backend() == "tpu"
+              and _cdt() is not jnp.float32)
     # fwd/bwd must agree on the path: if the FORWARD fell back to the jnp
     # reference (its tile chain missed N), the backward must differentiate
     # that same path — never pair a reference forward with a kernel bwd
@@ -666,7 +674,11 @@ def _mega_fwd(x, extras, s, base_wbs, top_wbs, color_wbs, sem_wbs,
     res = (x, extras, s, tuple(base_wbs), tuple(top_wbs), tuple(color_wbs),
            tuple(sem_wbs))
     N = x.shape[0]
-    on_tpu = jax.default_backend() == "tpu"
+    # fp32 debug mode bypasses the kernels: their bwd tile sizes are
+    # tuned against the 16 MB scoped-vmem limit at bf16 and fp32
+    # doubles every slab; the jnp mirror computes the same math
+    on_tpu = (jax.default_backend() == "tpu"
+              and _cdt() is not jnp.float32)
     preferred = tile_n
     tile_n = _pick_tile(N, tile_n) if N else 0
     if tile_n == 0 or (not on_tpu and not interpret):
@@ -714,7 +726,11 @@ def _mega_bwd(num_freqs, pass_sem_grad, tile_n, interpret, dim, tile_bwd,
     x, extras, s, base_wbs, top_wbs, color_wbs, sem_wbs = res
     g_t, g_rgb, g_sem = g
     N = x.shape[0]
-    on_tpu = jax.default_backend() == "tpu"
+    # fp32 debug mode bypasses the kernels: their bwd tile sizes are
+    # tuned against the 16 MB scoped-vmem limit at bf16 and fp32
+    # doubles every slab; the jnp mirror computes the same math
+    on_tpu = (jax.default_backend() == "tpu"
+              and _cdt() is not jnp.float32)
     # never pair a reference forward with a kernel backward (see _bwd)
     fwd_fell_back = N and _pick_tile(N, tile_n) == 0
     tile_n = (_pick_tile(N, tile_bwd) if N and not fwd_fell_back else 0)
@@ -894,7 +910,11 @@ def fused_pe_mlp(x: jnp.ndarray, s: jnp.ndarray,
 def _plain_fwd(x, s, wbs, num_freqs, tile_n, interpret, dim, tile_bwd=1024):
     res = (x, s, tuple(wbs))
     N = x.shape[0]
-    on_tpu = jax.default_backend() == "tpu"
+    # fp32 debug mode bypasses the kernels: their bwd tile sizes are
+    # tuned against the 16 MB scoped-vmem limit at bf16 and fp32
+    # doubles every slab; the jnp mirror computes the same math
+    on_tpu = (jax.default_backend() == "tpu"
+              and _cdt() is not jnp.float32)
     preferred = tile_n
     tile_n = _pick_tile(N, tile_n) if N else 0
     if tile_n == 0 or (not on_tpu and not interpret):
@@ -927,7 +947,11 @@ def _plain_bwd(num_freqs, tile_n, interpret, dim, tile_bwd, res, g):
     # VMEM; a smaller tile keeps it under the 16 MB scoped-vmem stack limit
     x, s, wbs = res
     N = x.shape[0]
-    on_tpu = jax.default_backend() == "tpu"
+    # fp32 debug mode bypasses the kernels: their bwd tile sizes are
+    # tuned against the 16 MB scoped-vmem limit at bf16 and fp32
+    # doubles every slab; the jnp mirror computes the same math
+    on_tpu = (jax.default_backend() == "tpu"
+              and _cdt() is not jnp.float32)
     # never pair a reference forward with a kernel backward (see _bwd)
     fwd_fell_back = N and _pick_tile(N, tile_n) == 0
     tile_n = (_pick_tile(N, tile_bwd) if N and not fwd_fell_back else 0)

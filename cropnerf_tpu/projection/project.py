@@ -85,11 +85,11 @@ _BUCKET_LADDER = (128, 256, 384, 512, 768, 1024, 1536, 2048, 3072, 4096,
                   98304, 131072)
 
 
-def _bucket(n: int, q: int = 128) -> int:
+def _bucket(n: int) -> int:
     for b in _BUCKET_LADDER:
         if n <= b:
             return b
-    return max(q, ((n + q - 1) // q) * q)
+    return ((n + 127) // 128) * 128        # beyond the ladder (rare)
 
 
 def _pow2_floor(x: int) -> int:
@@ -190,6 +190,39 @@ class ClusterProjector:
         return _pow2_floor(max(1, min(self.rays_per_dispatch // n,
                                       self.max_rays_per_job // n)))
 
+    def _j_for(self, n: int, count: int) -> int:
+        """J is a power of two capped by the (static) dispatch budgets,
+        shrunk only for small groups — so (n, J) comes from a small static
+        set and recurring runs reuse cached compiles."""
+        return min(self._j_cap(n), _pow2_ceil(count))
+
+    def _plan(self, jobs: Sequence[Tuple[int, np.ndarray]]):
+        """The SINGLE job-planning pass shared by ``precompile`` and
+        ``iter_projections`` (keeping them bit-identical is what guarantees
+        the warmup compiles exactly the programs the render loop runs):
+        → (by_bucket {n: [(idx, cam, aabb, crop)...]}, oversized, zeros)."""
+        H, W = self.height, self.width
+        by_bucket, oversized, zeros = {}, [], []
+        for idx, (cam_idx, aabb) in enumerate(jobs):
+            crop = _project_aabb_to_crop(self.cameras, int(cam_idx),
+                                         np.asarray(aabb), H, W)
+            if crop is None:
+                zeros.append(idx)
+                continue
+            x0, y0, x1, y1 = crop
+            n_pix = (x1 - x0) * (y1 - y0)
+            row = (idx, int(cam_idx), np.asarray(aabb, np.float32), crop)
+            if n_pix > self.max_rays_per_job:
+                oversized.append(row)
+            else:
+                # the ladder can overshoot the per-job ray cap near the
+                # top; clamp to the (config-static, 128-multiple) cap so
+                # the samples budget holds and the top bucket shares the
+                # oversized program
+                n = min(_bucket(n_pix), self.max_rays_per_job)
+                by_bucket.setdefault(n, []).append(row)
+        return by_bucket, oversized, zeros
+
     def precompile(self, jobs: Sequence[Tuple[int, np.ndarray]],
                    max_workers: int = 4) -> int:
         """AOT-compile every (n, J) program ``iter_projections(jobs)`` will
@@ -199,24 +232,10 @@ class ClusterProjector:
         latency.  Returns the number of distinct programs."""
         from concurrent.futures import ThreadPoolExecutor
 
-        H, W = self.height, self.width
-        counts = {}
-        any_oversized = False
-        for cam_idx, aabb in jobs:
-            crop = _project_aabb_to_crop(self.cameras, int(cam_idx),
-                                         np.asarray(aabb), H, W)
-            if crop is None:
-                continue
-            x0, y0, x1, y1 = crop
-            n_pix = (x1 - x0) * (y1 - y0)
-            if n_pix > self.max_rays_per_job:
-                any_oversized = True
-            else:
-                n = min(_bucket(n_pix), self.max_rays_per_job)
-                counts[n] = counts.get(n, 0) + 1
-        todo = [(n, min(self._j_cap(n), _pow2_ceil(c)))
-                for n, c in counts.items()]
-        if any_oversized and (self.max_rays_per_job, 1) not in todo:
+        by_bucket, oversized, _ = self._plan(jobs)
+        todo = [(n, self._j_for(n, len(group)))
+                for n, group in by_bucket.items()]
+        if oversized and (self.max_rays_per_job, 1) not in todo:
             todo.append((self.max_rays_per_job, 1))
 
         def _compile(nj):
@@ -246,32 +265,12 @@ class ClusterProjector:
             return idx, np.zeros((H, W), np.float32), \
                 np.zeros((H, W), np.float32)
 
-        by_bucket = {}
-        oversized = []
-        for idx, (cam_idx, aabb) in enumerate(jobs):
-            crop = _project_aabb_to_crop(self.cameras, int(cam_idx),
-                                         np.asarray(aabb), H, W)
-            if crop is None:
-                yield _zero(idx)
-                continue
-            x0, y0, x1, y1 = crop
-            n_pix = (x1 - x0) * (y1 - y0)
-            if n_pix > self.max_rays_per_job:
-                oversized.append(
-                    (idx, int(cam_idx), np.asarray(aabb, np.float32), crop))
-                continue
-            # the ladder can overshoot the per-job ray cap near the top;
-            # clamp to the (config-static, 128-multiple) cap so the samples
-            # budget holds and the top bucket shares the oversized program
-            n = min(_bucket(n_pix), self.max_rays_per_job)
-            by_bucket.setdefault(n, []).append(
-                (idx, int(cam_idx), np.asarray(aabb, np.float32), crop))
+        by_bucket, oversized, zeros = self._plan(jobs)
+        for idx in zeros:
+            yield _zero(idx)
 
         for n, group in sorted(by_bucket.items()):
-            # J is a power of two capped by the (static) dispatch budgets,
-            # shrunk only for small groups — so (n, J) comes from a small
-            # static set and recurring runs reuse cached compiles
-            J = min(self._j_cap(n), _pow2_ceil(len(group)))
+            J = self._j_for(n, len(group))
             run = self._get_fn(n, J)
             for at in range(0, len(group), J):
                 batch = group[at:at + J]
