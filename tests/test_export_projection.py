@@ -216,6 +216,27 @@ class TestProjection:
             np.testing.assert_allclose(got[idx][0], ref_wo, atol=1e-5)
             np.testing.assert_allclose(got[idx][1], ref_vis, atol=1e-5)
 
+    def test_precompile_matches_rendered_programs(self):
+        """precompile(jobs) must warm EXACTLY the (n, J) set
+        iter_projections(jobs) dispatches — the shared _plan pass is the
+        guarantee; this pins it against drift."""
+        params = model_init(jax.random.PRNGKey(0), CFG.model, num_images=2)
+        cams = ring_cameras(n=2, height=32, width=32, focal=40.0)
+        boxes = [
+            np.array([[-0.2, -0.2, -0.2], [0.2, 0.2, 0.2]], np.float32),
+            np.array([[0.0, 0.0, 0.0], [0.15, 0.15, 0.15]], np.float32),
+            np.array([[2.4, -0.1, 0.2], [2.8, 0.1, 0.5]], np.float32),
+        ]
+        jobs = [(c, b) for c in range(2) for b in boxes]
+        warm = ClusterProjector(params, CFG.model, cams, 32, 32,
+                                rays_per_dispatch=2048)
+        n_programs = warm.precompile(jobs)
+        warmed = set(warm._fns)
+        assert n_programs == len(warmed) > 0
+        for _ in warm.iter_projections(jobs):
+            pass
+        assert set(warm._fns) == warmed      # no new compiles at render
+
     def test_run_projections_rejects_short_label_list(self, tmp_path):
         """An empty/short label list must fail loudly up front, not with an
         IndexError deep inside the camera loop (found by the verify drive:
