@@ -81,7 +81,15 @@ Pending (round 5, in flight or queued):
     re-derivation (timing-sensitive, idle chip only).
   * bench.py + bench.py --breakdown rerun (now with per-component
     TFLOP/s rows).
+  * export-stage probe: r5 rehearsal export took 80 s (r4: 9.3 s at
+    0.4x the survivors) — hypothesis: brighter model overflows the
+    per-chunk survivor budget K=total//8 (12.8k) in concentrated chunks,
+    demoting them to the host dense fallback (slow through the tunnel).
+    Probe: rerun export with --restore-params /tmp/dress_r5/params.npy
+    at a larger max_points_per_batch and count overflow flags.
   * (optional) occluders-in-AABB fixture at 5 elevation rings x 90 cams
+    (now a one-liner: dress_rehearsal.py --scene-variant occluders-in-aabb
+    --elevation-rings 5 --n-cams 90)
     — finish the r4 leak-vs-coverage study (needs the old occluder
     geometry from git history commit 09ab60e^).
   * (closed 2026-08-20) bench_export speedup re-measured with both arms

@@ -256,7 +256,12 @@ def sample_volume(params, model_cfg: ModelConfig, aabb: np.ndarray,
     B = rays_per_batch
     total = B * num_samples
     if max_points_per_batch is None:
-        max_points_per_batch = max(4096, total // 8)
+        # generous default: an overflowed chunk costs a (remote) compile of
+        # the dense-fallback program plus a full-chunk host transfer, far
+        # more than the K-row gather/write this budget buys (r5 dress
+        # rehearsal: a brighter-trained model pushed dense spatial chunks
+        # past total//8 and export went 9.3 s → 80 s)
+        max_points_per_batch = max(4096, total // 2)
     K = min(max_points_per_batch, total)
     n_rays = origins_np.shape[0]
     n_chunks = (n_rays + B - 1) // B
@@ -348,6 +353,13 @@ def sample_volume(params, model_cfg: ModelConfig, aabb: np.ndarray,
                     rows[:, 3], rows[:, 4] > 0.5, rows[:, 5] > 0.5,
                     np.ones((rows.shape[0],), bool))
 
+    n_over = int(flags.sum())
+    if n_over:                                # never a silent cap
+        print(f"[export] {n_over}/{n_chunks} chunks overflowed the "
+              f"survivor budget (K={K}, G={G}) — re-running them through "
+              "the dense fallback (one compile + a full-chunk transfer "
+              "each); raise max_points_per_batch / max_total_points to "
+              "keep everything on the compact path", flush=True)
     for c in np.nonzero(flags)[0]:            # budget overflow → dense path
         start = int(c) * B
         chunk = origins_all[start:start + B]
