@@ -171,6 +171,22 @@ class TestProjection:
         assert _bucket(128) == 128
         assert _bucket(129) == 256
 
+    def test_bucket_ladder_properties(self):
+        """Static geometric ladder: covers n, 128-multiples, bounded
+        padding waste (<= 50%), monotone."""
+        from cropnerf_tpu.projection.project import _BUCKET_LADDER
+        prev = 0
+        for n in range(1, 140_000, 997):
+            b = _bucket(n)
+            assert b >= n and b % 128 == 0
+            if n > 128:
+                assert b < 2 * n            # waste bounded at 50% of rays
+            assert b >= prev or n <= 131072
+            prev = b if n <= 131072 else prev
+        # ladder values themselves map to themselves
+        for v in _BUCKET_LADDER:
+            assert _bucket(v) == v
+
     def test_crop_projection_contains_aabb(self):
         cams = ring_cameras(n=2, height=64, width=64, focal=80.0)
         aabb = np.array([[-0.2, -0.2, -0.2], [0.2, 0.2, 0.2]], np.float32)
