@@ -405,11 +405,21 @@ def run_projections(params, model_cfg: ModelConfig, cameras: Cameras,
                             else f"label_{lp.name}")
                     shutil.copy(lp, cam_dir / name)
 
+    import time as _time
+    t0 = _time.perf_counter()
     n_programs = projector.precompile(jobs)
+    t_compile = _time.perf_counter() - t0
     print(f"[project] {len(jobs)} jobs → {n_programs} compiled programs "
-          "(static bucket ladder, concurrent AOT warmup)", flush=True)
+          f"in {t_compile:.0f}s (static bucket ladder, concurrent AOT "
+          "warmup)", flush=True)
+    t0 = _time.perf_counter()
+    t_io = 0.0
     for idx, wo_occ, visible in projector.iter_projections(jobs):
         cam_dir, i = dests[idx]
+        t1 = _time.perf_counter()
         _save_gray(cam_dir / f"wo_occ_cluster_{i}.png", wo_occ)
         _save_gray(cam_dir / f"visible_cluster_{i}.png", visible)
+        t_io += _time.perf_counter() - t1
+    print(f"[project] render+stitch {_time.perf_counter() - t0 - t_io:.0f}s, "
+          f"png io {t_io:.0f}s", flush=True)
     return output_dir
