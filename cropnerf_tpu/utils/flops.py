@@ -4,7 +4,8 @@ Counts the model's matmul FLOPs per optimizer step from the config alone —
 2·d_in·d_out per weight matrix per sample, encode selector-matmuls included,
 elementwise work (activations, sin/cos, render weights, losses) excluded —
 so ``bench.py`` can report TFLOP/s and MFU against the box's measured bf16
-matmul peak (80 TFLOP/s on v5e: 4096³ bf16 in 1.7 ms, benchmarks/README.md).
+matmul peak (100.7 TFLOP/s on v5e, benchmarks/mfu_ceiling.py) and the
+per-shape ceilings of the model's own skinny matmuls (SHAPE_CEILINGS).
 
 Conventions (the standard MFU bookkeeping, e.g. PaLM appendix B):
   * backward = 2x forward for every matmul that receives gradients
@@ -30,10 +31,26 @@ from typing import Dict, List
 
 from ..models.config import FieldConfig, ProposalFieldConfig, TrainConfig
 
-# measured on this box (benchmarks/README.md "4096³ bf16 matmul"): the
+# measured on this box (benchmarks/mfu_ceiling.py, 2026-08-21): the
 # realistic matmul ceiling, not the paper peak (v5e paper peak is
-# 197 TFLOP/s bf16; large square matmuls reach ~80 through this tunnel)
-MEASURED_BF16_PEAK_TFLOPS = 80.0
+# 197 TFLOP/s bf16; an 8-deep 4096² relu-chain with the device-get sync
+# protocol reaches 100.7 — the earlier 80 came from a single plain 4096³
+# probe).  NOT the right roofline for the model's own skinny shapes: see
+# SHAPE_CEILINGS below and the per-component rows in bench.py --breakdown.
+MEASURED_BF16_PEAK_TFLOPS = 100.7
+
+# per-shape XLA bf16 chain ceilings measured by benchmarks/mfu_ceiling.py
+# on v5e (workload-shaped: N=196608 trunk rows, M=1048576 prop samples).
+# The fused PE-field kernel EXCEEDS trunk256 (54.1 measured fwd+bwd,
+# bench.py --breakdown) because it also absorbs the 63-wide input and
+# narrow head layers that drag an unfused chain down.
+SHAPE_CEILINGS_TFLOPS = {
+    "square4096": 100.7,
+    "trunk256": 43.6,        # [196608,256]@[256,256] relu chain
+    "trunk_in63": 24.0,      # [196608,63]@[63,256] PE input layer
+    "prop64": 12.6,          # [1M,33]@[33,64]→[64,64]→[64,1] (shipped)
+    "prop128": 9.1,          # [1M,33]@[33,128]→[128,1] (A/B'd, killed)
+}
 
 _POS_FREQS = 10   # models/vanilla.py POS_FREQS
 _DIR_FREQS = 4    # models/vanilla.py DIR_FREQS
