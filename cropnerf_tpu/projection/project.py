@@ -241,11 +241,29 @@ class ClusterProjector:
         def _compile(nj):
             n, j = nj
             run = self._get_fn(n, j)
-            run.lower(self.params, self.cameras,
-                      jax.ShapeDtypeStruct((j * n,), jnp.int32),
-                      jax.ShapeDtypeStruct((j * n,), jnp.int32),
-                      jax.ShapeDtypeStruct((j * n,), jnp.int32),
-                      jax.ShapeDtypeStruct((j, 2, 3), jnp.float32)).compile()
+            # warmup must NEVER kill the run: remote compile services drop
+            # connections transiently (observed: "response body closed
+            # before all bytes were read" mid-fan-out) — retry, then fall
+            # back to the render loop's lazy compile for that program
+            import time as _t
+            for attempt in range(3):
+                try:
+                    run.lower(
+                        self.params, self.cameras,
+                        jax.ShapeDtypeStruct((j * n,), jnp.int32),
+                        jax.ShapeDtypeStruct((j * n,), jnp.int32),
+                        jax.ShapeDtypeStruct((j * n,), jnp.int32),
+                        jax.ShapeDtypeStruct((j, 2, 3),
+                                             jnp.float32)).compile()
+                    return
+                except Exception as e:                # noqa: BLE001
+                    if attempt == 2:
+                        print(f"[project] warmup compile of (n={n}, J={j}) "
+                              f"failed after 3 attempts ({e!r}) — the "
+                              "render loop will compile it lazily",
+                              flush=True)
+                    else:
+                        _t.sleep(2.0 * (attempt + 1))
 
         with ThreadPoolExecutor(max_workers=max_workers) as ex:
             list(ex.map(_compile, todo))
