@@ -71,27 +71,27 @@ Done (2026-08-21, round 5, healthy tunnel window):
     defaults, no attach_unlabeled; occluder logit leak 0.0%; projection
     402 s for 1200 jobs under the static bucket ladder (5 programs).
 
-Pending (round 5, in flight or queued):
-  * orchard 3-arm psnr_parity study (RUNNING, pid logged in
-    benchmarks/psnr_orchard.log; ~2 h).
-  * benchmarks/ab_propshape.py — MXU-tile-aligned prop-net shapes
-    (3x64 vs 2x128 vs 3x128) at matched quality; timing-sensitive, run
-    on an idle chip only.
-  * benchmarks/mfu_ceiling.py — workload-shaped matmul ceiling
-    re-derivation (timing-sensitive, idle chip only).
-  * bench.py + bench.py --breakdown rerun (now with per-component
-    TFLOP/s rows).
-  * export-stage probe: r5 rehearsal export took 80 s (r4: 9.3 s at
-    0.4x the survivors) — hypothesis: brighter model overflows the
-    per-chunk survivor budget K=total//8 (12.8k) in concentrated chunks,
-    demoting them to the host dense fallback (slow through the tunnel).
-    Probe: rerun export with --restore-params /tmp/dress_r5/params.npy
-    at a larger max_points_per_batch and count overflow flags.
-  * (optional) occluders-in-AABB fixture at 5 elevation rings x 90 cams
-    (now a one-liner: dress_rehearsal.py --scene-variant occluders-in-aabb
-    --elevation-rings 5 --n-cams 90)
-    — finish the r4 leak-vs-coverage study (needs the old occluder
-    geometry from git history commit 09ab60e^).
+Done (2026-08-21, round 5 continuation — all previously-pending items):
+  * orchard 3-arm psnr_parity study: flagship 19.82 vs hash 19.04 vs
+    mxu-opt control 12.18 @2000 (psnr_parity_orchard_results.json;
+    scene-dependent decomposition analysis in benchmarks/README.md).
+  * ab_propshape.py: 2x128 faster + better on sphere but -2.0 dB on
+    orchard → KILLED, 3x64 stays; 3x128 noted as a quality-preset
+    candidate (+2.3 dB sphere, +26% step time).
+  * mfu_ceiling.py: square peak re-measured 100.7 TFLOP/s; per-shape
+    ceilings trunk256=43.6 / prop64=12.6; fused field EXCEEDS its
+    unfused chain ceiling (54.1) → roofline settled, no 3x on the table.
+  * bench.py --breakdown with per-component TFLOP/s: landed + run.
+  * export-stage probe: root cause was the K=total//8 survivor budget
+    demoting dense chunks to the host fallback; K now total//2 with loud
+    overflow notices; rerun export 10 s, bit-identical clouds.
+  * leak-vs-coverage study (occluders-in-AABB, 5 rings x 90 cams):
+    elevation coverage causally controls the occluder leak (commits
+    633ccbb, 6ec3699; analysis folded into benchmarks/README.md).
+
+Pending (opportunistic, healthy-tunnel-only):
+  * nothing queued — re-run bench.py before round close to confirm the
+    tunnel drew a fast executable.
   * (closed 2026-08-20) bench_export speedup re-measured with both arms
     warm: 11.0x (was 17.2x with a dense-side recompile); compact path
     400 ms / 21.0 M queries/s.  benchmarks/README.md updated.

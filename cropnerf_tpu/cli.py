@@ -633,6 +633,48 @@ def _cmd_rescale(args):
     print(json.dumps({"rescaled": n, "dst": str(args.dst_dir)}))
 
 
+def _add_segment_masks(sub):
+    p = sub.add_parser("segment-masks", help="images → per-frame binary "
+                       "fruit masks via classical colour segmentation "
+                       "(dependency-free GroundedSAM stand-in; same output "
+                       "format + >20%%-drop rule as "
+                       "fruit_nerf_dataset.py:51-198)")
+    p.add_argument("--image-dir", type=Path, required=True)
+    p.add_argument("--out-dir", type=Path, required=True)
+    p.add_argument("--color", default=None,
+                   help="foreground RGB prior as R,G,B (the text-prompt "
+                        "stand-in); omit for priorless border-background "
+                        "kmeans")
+    p.add_argument("--color-tol", type=float, default=60.0)
+    p.add_argument("--k", type=int, default=3,
+                   help="kmeans colour clusters (k<=1 with --color = plain "
+                        "distance threshold)")
+    p.add_argument("--max-mask-fraction", type=float, default=0.2,
+                   help="drop components above this image fraction "
+                        "(reference drop rule, fruit_nerf_dataset.py:172)")
+    p.add_argument("--min-area", type=int, default=16)
+    p.add_argument("--morph-radius", type=int, default=1)
+    p.add_argument("--update-transforms", type=Path, default=None,
+                   help="transforms.json to wire per-frame semantic_path "
+                        "entries into (≙ _save_transforms, "
+                        "fruit_nerf_dataset.py:364-373)")
+
+
+def _cmd_segment_masks(args):
+    from .data.autoseg import AutoSegConfig, segment_dir
+    color = (tuple(int(c) for c in args.color.split(","))
+             if args.color else None)
+    cfg = AutoSegConfig(color=color, color_tol=args.color_tol, k=args.k,
+                        max_mask_fraction=args.max_mask_fraction,
+                        min_area=args.min_area,
+                        morph_radius=args.morph_radius)
+    n = segment_dir(args.image_dir, args.out_dir, cfg,
+                    transforms_path=args.update_transforms)
+    print(json.dumps({"segmented": n, "out": str(args.out_dir),
+                      "transforms_updated":
+                          args.update_transforms is not None}))
+
+
 def _add_import_colmap(sub):
     p = sub.add_parser("import-colmap", help="COLMAP sparse model → "
                        "transforms.json in the 3DCotton layout "
@@ -676,7 +718,8 @@ def main(argv=None):
                 _add_segment, _add_project,
                 _add_count, _add_depth_project, _add_depth_count,
                 _add_render, _add_uncertainty, _add_viewer,
-                _add_process_labels, _add_rescale, _add_import_colmap):
+                _add_process_labels, _add_rescale, _add_segment_masks,
+                _add_import_colmap):
         add(sub)
     args = parser.parse_args(argv)
     {
@@ -693,6 +736,7 @@ def main(argv=None):
         "viewer": _cmd_viewer,
         "process-labels": _cmd_process_labels,
         "rescale": _cmd_rescale,
+        "segment-masks": _cmd_segment_masks,
         "import-colmap": _cmd_import_colmap,
     }[args.command](args)
 

@@ -303,6 +303,33 @@ PRESETS = {
         learning_rate=1e-3, lr_final=1e-5, lr_decay_max_steps=50_000,
         prop_learning_rate=1e-3, prop_lr_final=1e-5,
         prop_lr_decay_max_steps=50_000, adam_eps=1e-8),
+    # Opt-in quality tier of the flagship: MXU-tile-aligned 3x128 prop
+    # nets (two 128-wide hidden layers, full MXU tile occupancy vs the
+    # half-tile 64-wide shipped shape).  Measured on v5e
+    # (benchmarks/ab_propshape.py, 2026-08-21, sphere fixture):
+    # +2.3 dB PSNR @1000 steps (26.12 vs 23.84) at +26% step time
+    # (25.0 vs 20.4 ms; 164 k rays/s).  NOT the default: the cheaper
+    # 2x128 shape regressed 2.0 dB on the textured orchard scene, so the
+    # shipped flagship stays at the reference-shaped 3x64; this tier is
+    # for quality-bound runs that can spend the extra step time.
+    "cropnerf-mxu-q": TrainConfig(
+        model=ModelConfig(
+            field=FieldConfig(field_type="vanilla", hidden_dim=256,
+                              geo_feat_dim=15, hidden_dim_color=64,
+                              hidden_dim_semantics=64,
+                              mlp_impl="pallas-fused"),
+            proposal_fields=(
+                ProposalFieldConfig(field_type="pe", hidden_dim=128,
+                                    num_layers=3, pe_freqs=5),
+                ProposalFieldConfig(field_type="pe", hidden_dim=128,
+                                    num_layers=3, pe_freqs=6),
+            ),
+            proposal_no_grad_schedule=False,
+            remat=False,
+        ),
+        learning_rate=1e-3, lr_final=1e-5, lr_decay_max_steps=50_000,
+        prop_learning_rate=1e-3, prop_lr_final=1e-5,
+        prop_lr_decay_max_steps=50_000, adam_eps=1e-8),
     # TPU-native big/huge tiers: the fruit_nerf_big/_huge scale ladder
     # (fruit_nerf_config.py:68-172 — rays, samples, head widths, anneal,
     # camera-opt settings) applied to the gather-free mxu family.  The PE

@@ -94,3 +94,22 @@ def test_mxu_tier_presets_mirror_reference_ladder():
     assert PRESETS["cropnerf-mxu-big"].model.field.geo_feat_dim == 30
     assert PRESETS["cropnerf-mxu-huge"].model.field.hidden_dim_color == 256
     assert PRESETS["cropnerf-mxu-huge"].camera_opt_optimizer == "radam"
+
+
+def test_mxu_quality_preset_is_flagship_with_3x128_props():
+    """cropnerf-mxu-q == the flagship with the measured 3x128 prop arm
+    (benchmarks/ab_propshape.py): everything else must stay identical so
+    the A/B numbers keep describing the preset."""
+    import dataclasses
+    base = PRESETS["cropnerf-mxu"]
+    q = PRESETS["cropnerf-mxu-q"]
+    for p in q.model.proposal_fields:
+        assert p.field_type == "pe"
+        assert p.hidden_dim == 128 and p.num_layers == 3
+    assert tuple(p.pe_freqs for p in q.model.proposal_fields) == \
+        tuple(p.pe_freqs for p in base.model.proposal_fields)
+    # same model apart from the prop shape, same optimizer regime
+    norm = dataclasses.replace(
+        q, model=dataclasses.replace(
+            q.model, proposal_fields=base.model.proposal_fields))
+    assert norm == base

@@ -58,6 +58,101 @@ class TestPreprocessUtils:
         assert np.asarray(Image.open(dst / "x.png")).shape == (4, 4)
 
 
+class TestAutoSeg:
+    """Fallback mask segmenter (data/autoseg.py) — the dependency-free
+    stand-in for the reference's GroundedSAM step
+    (fruit_nerf_dataset.py:51-198): binary mask format, >20% drop rule,
+    transforms.json semantic_path wiring."""
+
+    def _scene(self, h=64, w=64):
+        """Black background + two red discs + one green distractor."""
+        img = np.zeros((h, w, 3), np.uint8)
+        yy, xx = np.mgrid[0:h, 0:w]
+        gt = np.zeros((h, w), bool)
+        for cy, cx, r in ((18, 18, 7), (44, 40, 9)):
+            d = (yy - cy) ** 2 + (xx - cx) ** 2 <= r * r
+            img[d] = [200, 30, 30]
+            gt |= d
+        img[(yy - 50) ** 2 + (xx - 12) ** 2 <= 16] = [30, 180, 30]
+        return img, gt
+
+    def _iou(self, a, b):
+        return (a & b).sum() / max(1, (a | b).sum())
+
+    def test_color_prior_recovers_discs(self):
+        from cropnerf_tpu.data.autoseg import AutoSegConfig, segment_image
+        img, gt = self._scene()
+        m = segment_image(img, AutoSegConfig(color=(200, 30, 30), k=1,
+                                             morph_radius=0))
+        assert self._iou(m, gt) > 0.95
+        assert not m[50, 12]                      # distractor excluded
+
+    def test_kmeans_color_prior(self):
+        from cropnerf_tpu.data.autoseg import AutoSegConfig, segment_image
+        img, gt = self._scene()
+        m = segment_image(img, AutoSegConfig(color=(255, 0, 0), k=3,
+                                             color_tol=90.0, morph_radius=0))
+        assert self._iou(m, gt) > 0.9
+
+    def test_priorless_border_background(self):
+        from cropnerf_tpu.data.autoseg import AutoSegConfig, segment_image
+        img, gt = self._scene()
+        m = segment_image(img, AutoSegConfig(k=3, morph_radius=0))
+        # priorless mode keeps every non-background cluster: both discs AND
+        # the distractor count as foreground
+        assert (m & gt).sum() / gt.sum() > 0.95
+        assert m[50, 12]
+
+    def test_oversized_component_dropped(self):
+        """A component covering >20%% of the image is dropped — the
+        reference's post-SAM rule (fruit_nerf_dataset.py:172-177)."""
+        from cropnerf_tpu.data.autoseg import AutoSegConfig, segment_image
+        img, gt = self._scene()
+        img[:30, :] = [200, 30, 30]               # giant foreground slab
+        m = segment_image(img, AutoSegConfig(color=(200, 30, 30), k=1,
+                                             morph_radius=0))
+        assert not m[:30].any()                   # slab dropped
+        assert m[44, 40]                          # small disc survives
+
+    def test_segment_dir_and_transforms_wiring(self, tmp_path):
+        import json
+        from PIL import Image
+        from cropnerf_tpu.data.autoseg import AutoSegConfig, segment_dir
+        img, gt = self._scene()
+        img_dir = tmp_path / "images"
+        img_dir.mkdir()
+        for name in ("frame_000", "frame_001"):
+            Image.fromarray(img).save(img_dir / f"{name}.png")
+        tf = tmp_path / "transforms.json"
+        tf.write_text(json.dumps({"frames": [
+            {"file_path": "images/frame_000.png"},
+            {"file_path": "images/frame_001.png"}]}))
+        n = segment_dir(img_dir, tmp_path / "masks",
+                        AutoSegConfig(color=(200, 30, 30), k=1),
+                        transforms_path=tf)
+        assert n == 2
+        m = np.asarray(Image.open(tmp_path / "masks" / "mask_frame_000.png"))
+        assert set(np.unique(m)) <= {0, 255}       # binary format parity
+        assert self._iou(m > 0, gt) > 0.9
+        meta = json.loads(tf.read_text())
+        assert meta["frames"][0]["semantic_path"] == "masks/mask_frame_000.png"
+        assert "semantics" in meta
+
+    def test_cli_segment_masks(self, tmp_path, capsys):
+        from PIL import Image
+        from cropnerf_tpu import cli
+        img, _ = self._scene()
+        img_dir = tmp_path / "images"
+        img_dir.mkdir()
+        Image.fromarray(img).save(img_dir / "a.png")
+        cli.main(["segment-masks", "--image-dir", str(img_dir),
+                  "--out-dir", str(tmp_path / "masks"),
+                  "--color", "200,30,30", "--k", "1"])
+        assert (tmp_path / "masks" / "mask_a.png").exists()
+        out = capsys.readouterr().out
+        assert '"segmented": 1' in out
+
+
 class TestClusteringVariants:
     def _blobs(self, k, n=40, spread=0.02, dist=2.0, seed=0):
         rng = np.random.RandomState(seed)
