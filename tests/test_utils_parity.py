@@ -138,6 +138,35 @@ class TestAutoSeg:
         assert meta["frames"][0]["semantic_path"] == "masks/mask_frame_000.png"
         assert "semantics" in meta
 
+    def test_masks_feed_the_dataparser(self, tmp_path):
+        """End-to-end builder contract: segment-masks over a dataset's
+        images + --update-transforms must produce semantic_path entries
+        the dataparser actually loads (the per-frame override branch,
+        dataparser.py) and masks that agree with the ground truth."""
+        from PIL import Image
+        from test_trainer import write_synthetic_dataset
+        from cropnerf_tpu import cli
+        from cropnerf_tpu.data.dataparser import (DataparserConfig,
+                                                  parse_transforms)
+        root = write_synthetic_dataset(tmp_path / "ds", n=4, size=40)
+        gt = {p.name: np.asarray(Image.open(p)) > 0
+              for p in sorted((root / "semantics").glob("*.png"))}
+        # white background touches every border → priorless kmeans mode;
+        # the sphere can exceed 20% of a 40px frame, so lift the drop rule
+        cli.main(["segment-masks", "--image-dir", str(root / "images"),
+                  "--out-dir", str(root / "auto_masks"), "--k", "2",
+                  "--max-mask-fraction", "0.9",
+                  "--update-transforms", str(root / "transforms.json")])
+        out = parse_transforms(
+            DataparserConfig(data_dir=root, train_split_fraction=1.0))
+        assert all("auto_masks/mask_" in str(p) for p in out.semantic_paths)
+        for p in out.semantic_paths:
+            assert p.exists()
+            m = np.asarray(Image.open(p)) > 0
+            g = gt[p.name.replace("mask_", "")]
+            iou = (m & g).sum() / max(1, (m | g).sum())
+            assert iou > 0.8, f"{p.name}: IoU {iou:.2f}"
+
     def test_cli_segment_masks(self, tmp_path, capsys):
         from PIL import Image
         from cropnerf_tpu import cli
