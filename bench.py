@@ -310,15 +310,21 @@ def main() -> None:
     # (fwd + 2x bwd, no remat recompute) against the box's measured bf16
     # matmul ceiling — auditable per-component in `--breakdown`.
     from cropnerf_tpu.utils.flops import (MEASURED_BF16_PEAK_TFLOPS, mfu,
-                                          train_step_flops)
+                                          speed_of_light, train_step_flops)
     fl = train_step_flops(cfg)
     util = mfu(fl["model_flops_per_step"], ms / 1e3)
+    sol = speed_of_light(cfg)
     print(f"model matmul flops/step: {fl['model_flops_per_step']:.3e} "
           f"(field fwd {fl['field_fwd_flops']:.3e}, prop fwd "
           f"{fl['prop_fwd_flops']:.3e}) -> {util['tflops_per_s']:.1f} "
           f"TFLOP/s = {util['mfu_vs_measured_peak']:.1%} of the measured "
           f"{MEASURED_BF16_PEAK_TFLOPS:.0f} TFLOP/s bf16 peak",
           file=sys.stderr)
+    print(f"per-shape speed-of-light: {sol['sol_ms']:.1f} ms/step at the "
+          f"components' own measured ceilings (field "
+          f"{sol['field_ceiling_tflops']:.1f} / prop "
+          f"{sol['prop_ceiling_tflops']:.1f} TFLOP/s) -> step runs at "
+          f"{sol['sol_ms'] / ms:.1%} of per-shape SOL", file=sys.stderr)
     print(json.dumps({
         "metric": "train_rays_per_s_single_chip",
         "value": round(rays_per_s, 1),
@@ -328,6 +334,8 @@ def main() -> None:
         "model_flops_per_step": fl["model_flops_per_step"],
         "tflops_per_s": round(util["tflops_per_s"], 2),
         "mfu_vs_measured_peak": round(util["mfu_vs_measured_peak"], 4),
+        "sol_ms_per_step": round(sol["sol_ms"], 2),
+        "fraction_of_shape_sol": round(sol["sol_ms"] / ms, 4),
     }))
 
 

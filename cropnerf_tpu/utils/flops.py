@@ -160,3 +160,43 @@ def mfu(model_flops_per_step: float, step_seconds: float,
         "tflops_per_s": tflops_per_s,
         "mfu_vs_measured_peak": tflops_per_s / peak_tflops,
     }
+
+
+def _component_ceiling_tflops(hidden_dim: int) -> float:
+    """Shape-specific ceiling for a component whose matmuls are
+    ``hidden_dim`` wide; dims without a measured ceiling fall back to the
+    square peak (a conservative over-estimate → a lower SOL fraction)."""
+    if hidden_dim >= 256:
+        return SHAPE_CEILINGS_TFLOPS["trunk256"]
+    if hidden_dim == 128:
+        return SHAPE_CEILINGS_TFLOPS["prop128"]
+    if hidden_dim == 64:
+        return SHAPE_CEILINGS_TFLOPS["prop64"]
+    return SHAPE_CEILINGS_TFLOPS["square4096"]
+
+
+def speed_of_light(cfg: TrainConfig) -> Dict[str, float]:
+    """Per-shape roofline speed-of-light (SOL) step time.
+
+    Each component's fwd+bwd matmul FLOPs divided by the measured XLA
+    chain ceiling for its own matmul width (benchmarks/mfu_ceiling.py):
+    the step time if every matmul ran at the best rate this hardware has
+    demonstrated *for that shape*.  Elementwise and sampling work is
+    excluded from the numerator, so ``measured_ms / sol_ms`` charges that
+    time as inefficiency — a conservative utilization figure (and the
+    fused field kernel has measured ABOVE its unfused chain ceiling, so
+    fractions slightly over the per-component bound are possible).
+    """
+    fl = train_step_flops(cfg)
+    field = 3.0 * fl["field_fwd_flops"]
+    prop = fl["model_flops_per_step"] - field
+    field_ceiling = _component_ceiling_tflops(cfg.model.field.hidden_dim)
+    prop_dims = {p.hidden_dim for p in cfg.model.proposal_fields}
+    prop_ceiling = min((_component_ceiling_tflops(d) for d in prop_dims),
+                       default=SHAPE_CEILINGS_TFLOPS["square4096"])
+    sol_s = (field / (field_ceiling * 1e12) + prop / (prop_ceiling * 1e12))
+    return {
+        "sol_ms": sol_s * 1e3,
+        "field_ceiling_tflops": field_ceiling,
+        "prop_ceiling_tflops": prop_ceiling,
+    }

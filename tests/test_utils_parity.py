@@ -341,3 +341,23 @@ class TestFlopsAccounting:
         m = mfu(80e12 * 0.010, 0.010, peak_tflops=80.0)
         assert abs(m["tflops_per_s"] - 80.0) < 1e-9
         assert abs(m["mfu_vs_measured_peak"] - 1.0) < 1e-9
+
+    def test_speed_of_light_flagship(self):
+        """SOL = fwd+bwd FLOPs at each component's own shape ceiling:
+        field (trunk256, 43.6 TFLOP/s) + prop (prop64, 12.6) must
+        reproduce the hand sum, and the q-preset's 128-wide props must
+        pick the prop128 ceiling."""
+        from cropnerf_tpu.models.config import PRESETS
+        from cropnerf_tpu.utils.flops import (speed_of_light,
+                                              train_step_flops)
+        cfg = PRESETS["cropnerf-mxu"]
+        fl = train_step_flops(cfg)
+        sol = speed_of_light(cfg)
+        field = 3.0 * fl["field_fwd_flops"]
+        prop = fl["model_flops_per_step"] - field
+        hand_ms = (field / 43.6e12 + prop / 12.6e12) * 1e3
+        assert abs(sol["sol_ms"] - hand_ms) < 1e-9
+        assert sol["field_ceiling_tflops"] == 43.6
+        assert sol["prop_ceiling_tflops"] == 12.6
+        q = speed_of_light(PRESETS["cropnerf-mxu-q"])
+        assert q["prop_ceiling_tflops"] == 9.1
