@@ -90,8 +90,9 @@ Done (2026-08-21, round 5 continuation — all previously-pending items):
     633ccbb, 6ec3699; analysis folded into benchmarks/README.md).
 
 Pending (opportunistic, healthy-tunnel-only):
-  * nothing queued — re-run bench.py before round close to confirm the
-    tunnel drew a fast executable.
+  * nothing queued.  (bench.py re-run twice at round close: 199.7 and
+    200.1 k rays/s, 2.0x baseline, 79.3% of per-shape SOL — tunnel
+    healthy, executables fast.)
   * (closed 2026-08-20) bench_export speedup re-measured with both arms
     warm: 11.0x (was 17.2x with a dense-side recompile); compact path
     400 ms / 21.0 M queries/s.  benchmarks/README.md updated.
